@@ -1,0 +1,130 @@
+"""Hashing / sketching column builders: shingles, MinHash, SimHash.
+
+All deterministic and seed-stable. MinHash permutations use the classic
+universal-hash family  h_i(x) = (a_i·x + b_i) mod p  with p = 2^31−1
+(Mersenne), coefficients derived from a seeded SHA-256 stream — identical
+across executors and runs. Everything except the SimHash bit-vote is native
+Catalyst (array expressions, no UDF); SimHash votes over 64 bits with numpy
+in an Arrow-vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MERSENNE_P = (1 << 31) - 1
+
+
+def _coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    out = []
+    for i in range(k):
+        d = hashlib.sha256(f"minhash|{seed}|{i}".encode()).digest()
+        a = (int.from_bytes(d[:8], "big") % (MERSENNE_P - 1)) + 1
+        b = int.from_bytes(d[8:16], "big") % MERSENNE_P
+        out.append((a, b))
+    return out
+
+
+def tokens_col(text: Column) -> Column:
+    """Lowercased word tokens (native split)."""
+    return F.filter(
+        F.split(F.lower(text), r"[^\p{L}\p{N}]+"), lambda t: F.length(t) > 0
+    )
+
+
+def shingles_col(tokens: Column, n: int = 3) -> Column:
+    """n-gram shingles of a token array, hashed to int64 (native).
+
+    Output: array<long> of distinct shingle hashes — the set representation
+    used for both MinHash and exact Jaccard verification.
+    """
+    n_tokens = F.size(tokens)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n_tokens - n, F.lit(0)), F.lit(1)
+    )
+    grams = F.when(n_tokens >= n, F.transform(
+        starts, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i + 1, n)))
+    )).otherwise(
+        # short docs: whole doc is one shingle
+        F.array(F.xxhash64(F.concat_ws(" ", tokens)))
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature_col(shingles: Column, k: int = 64, seed: int = 42) -> Column:
+    """MinHash signature: array<long> of length k, fully native.
+
+    min over shingle hashes s of (a_i·(s mod p) + b_i) mod p. Products stay
+    < 2^62 (both factors < 2^31), so 64-bit arithmetic is exact.
+    """
+    sigs = []
+    for a, b in _coeffs(k, seed):
+        sigs.append(
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s, a=a, b=b: (
+                        F.lit(a) * F.pmod(s, F.lit(MERSENNE_P)) + F.lit(b)
+                    ) % F.lit(MERSENNE_P),
+                )
+            )
+        )
+    return F.array(*sigs)
+
+
+def lsh_bands_col(signature: Column, n_bands: int, rows_per_band: int) -> Column:
+    """Band the signature for LSH: array<struct<band:int, bhash:long>>.
+
+    Explode + groupBy(band, bhash) buckets candidate near-dups; two docs
+    collide in a band iff all ``rows_per_band`` minhashes in it agree.
+    """
+    bands = []
+    for b in range(n_bands):
+        part = F.slice(signature, b * rows_per_band + 1, rows_per_band)
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(",", F.transform(part, lambda x: x.cast("string")))).alias("bhash"),
+            )
+        )
+    return F.array(*bands)
+
+
+def jaccard_col(shingles_a: Column, shingles_b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays (native)."""
+    inter = F.size(F.array_intersect(shingles_a, shingles_b))
+    union = F.size(F.array_union(shingles_a, shingles_b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(token_hashes: pd.Series) -> pd.Series:  # pragma: no cover
+    """64-bit SimHash from an array<long> of token hashes (numpy bit-vote)."""
+    out = np.zeros(len(token_hashes), dtype=np.int64)
+    for i, hs in enumerate(token_hashes):
+        if hs is None or len(hs) == 0:
+            continue
+        arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+        bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(arr)  # +1/-1 vote per bit
+        sh = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            sh |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sh)
+    return pd.Series(out)
+
+
+def token_hashes_col(tokens: Column) -> Column:
+    """array<long> of per-token hashes (native), input to simhash64."""
+    return F.transform(tokens, lambda t: F.xxhash64(t))
+
+
+def hamming64_col(a: Column, b: Column) -> Column:
+    """Hamming distance between two int64 simhashes (native bit_count/xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,167 @@
+"""Text functions: HTML→text extraction, language id, quality, fingerprint.
+
+Design rules (BASELINE.json ``input_hint``):
+
+- No per-row Python UDFs. Heavy byte-payload work (HTML→text) runs as an
+  Arrow-vectorized ``pandas_udf``; everything that CAN be a native Catalyst
+  expression (token counts, quality ratios, language scoring, fingerprints)
+  IS one, so it stays inside whole-stage codegen.
+- ``extract_text_series`` is a *pure* function of the input bytes — no
+  locale, env, or ordering dependence — so the distributed UDF and the
+  single-threaded replay oracle (tests/replayer.py) produce byte-identical
+  output per url. This mirrors the reference's batch-vectorized processor
+  override pattern (``internal_batch_process``,
+  /root/reference/src/hyped/data/processors/base.py:466-532) with the
+  tokenizer as the model heavy transform
+  (/root/reference/src/hyped/data/processors/tokenizers/hf.py:404-441).
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (the deterministic kernel)
+# ---------------------------------------------------------------------------
+
+_RE_SCRIPT = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
+_RE_COMMENT = re.compile(r"(?s)<!--.*?-->")
+_RE_BLOCK = re.compile(
+    r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|section|article|header"
+    r"|footer|blockquote|pre|title)\b[^>]*>"
+)
+_RE_TAG = re.compile(r"(?s)<[^>]+>")
+_RE_WS = re.compile(r"[ \t\r\f\v]+")
+_RE_NL = re.compile(r"\n{2,}")
+
+
+def extract_text_bytes(b: bytes | None) -> str | None:
+    """Deterministic plain-text extraction from HTML bytes.
+
+    Pure function: utf-8 decode (replace) → drop script/style/comments →
+    block tags become newlines → strip remaining tags → unescape entities →
+    collapse whitespace. No locale or environment dependence.
+    """
+    if b is None:
+        return None
+    s = b.decode("utf-8", "replace")
+    s = _RE_SCRIPT.sub(" ", s)
+    s = _RE_COMMENT.sub(" ", s)
+    s = _RE_BLOCK.sub("\n", s)
+    s = _RE_TAG.sub(" ", s)
+    s = _htmllib.unescape(s)
+    s = _RE_WS.sub(" ", s)
+    lines = [ln.strip() for ln in s.split("\n")]
+    s = "\n".join(ln for ln in lines if ln)
+    return s
+
+
+def extract_text_series(s: pd.Series) -> pd.Series:
+    """Vectorized wrapper over ``extract_text_bytes`` for a bytes Series."""
+    return s.map(extract_text_bytes)
+
+
+@F.pandas_udf(T.StringType())
+def extract_text(html: pd.Series) -> pd.Series:  # pragma: no cover (runs on executors)
+    return extract_text_series(html)
+
+
+# ---------------------------------------------------------------------------
+# Native (codegen'd) text-analysis column builders
+# ---------------------------------------------------------------------------
+
+# Small fixed stopword inventories per language for the n-gram/stopword
+# heuristic language id. Deliberately tiny: language id here is a scoring
+# heuristic, not a model — see SURVEY.md §2 (training-pipeline extensions).
+_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "für", "von"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "pour", "que", "une"],
+    "es": ["el", "los", "las", "es", "en", "por", "para", "con", "una", "del"],
+    "it": ["il", "di", "che", "per", "con", "non", "una", "sono", "della", "gli"],
+}
+
+
+def _stopword_regex(words: list[str]) -> str:
+    return r"(?i)\b(" + "|".join(words) + r")\b"
+
+
+def lang_score_cols(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts, all native ``regexp_count``."""
+    return {
+        lang: F.regexp_count(text, F.lit(_stopword_regex(words)))
+        for lang, words in _STOPWORDS.items()
+    }
+
+
+def lang_id_col(text: Column) -> Column:
+    """Argmax language by stopword count; 'und' (undetermined) when no hits.
+
+    Implemented as a native expression: build array<struct<score,neg_idx>>,
+    take ``array_max`` (struct ordering = lexicographic) — stays in codegen,
+    no UDF, no shuffle.
+    """
+    scores = lang_score_cols(text)
+    langs = list(scores)
+    packed = F.array(
+        *[
+            F.struct(
+                scores[lang].alias("score"),
+                F.lit(-i).alias("neg_idx"),  # tie-break: earlier language wins
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(packed)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace-ish token count, native. BPE-ish sub-token estimate is
+    ``bpe_token_estimate_col``."""
+    return F.size(F.split(F.trim(text), r"\s+")) - F.when(
+        F.length(F.trim(text)) == 0, F.lit(1)
+    ).otherwise(F.lit(0))
+
+
+def bpe_token_estimate_col(text: Column) -> Column:
+    """BPE-ish token estimate: words + punctuation + digit runs counted via a
+    GPT-2-style pre-tokenizer regex, fully native (``regexp_count``)."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"))
+
+
+def quality_score_col(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: blend of length, alpha ratio,
+    punctuation ratio and stopword density. Native expressions only."""
+    n = F.length(text)
+    n_safe = F.greatest(n, F.lit(1))
+    alpha_ratio = F.regexp_count(text, F.lit(r"[A-Za-z]")) / n_safe
+    punct_ratio = F.regexp_count(text, F.lit(r"[^\w\s]")) / n_safe
+    words = token_count_col(text)
+    stop_hits = F.regexp_count(text, F.lit(_stopword_regex(_STOPWORDS["en"])))
+    stop_density = stop_hits / F.greatest(words, F.lit(1))
+    length_score = F.least(n / F.lit(1000.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.25) * length_score
+        + F.lit(0.35) * alpha_ratio
+        + F.lit(0.25) * F.least(stop_density * 4, F.lit(1.0))
+        + F.lit(0.15) * (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))),
+        4,
+    )
+
+
+def fingerprint_col(text: Column) -> Column:
+    """64-bit content fingerprint of whitespace-normalized lowercase text.
+
+    Native ``xxhash64`` — at 100 TB this is the cheap first-pass exact-dup
+    key (hash-groupBy dedup) before any near-dup pass.
+    """
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.xxhash64(normalized)

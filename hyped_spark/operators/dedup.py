@@ -1,0 +1,165 @@
+"""Deduplication operators over document tables (training-pipeline core).
+
+Scale shapes (the 100 TB story):
+
+- ``exact_dedup``      : one hash-aggregate on a 64-bit fingerprint — the
+  cheapest pass, always run first; shuffles only (fingerprint, min_id) pairs
+  under partial aggregation, never the text.
+- ``minhash_lsh_pairs``: shingle→minhash→band→bucket-join. The self-join is
+  on (band, bhash) buckets, so candidate generation is linear in collisions,
+  not O(n²); signatures are built natively (no UDF) in one projection.
+- ``simhash_pairs``    : 64-bit simhash + banded Hamming join (4×16-bit
+  chunk equality as the LSH — any ≤3-bit-distant pair shares a chunk).
+- ``ngram_jaccard_pairs``: exact verified Jaccard on shingle sets for the
+  candidates (used as the verifier stage after either LSH).
+- ``embedding_neardup_pairs``: cosine near-dup via random-hyperplane LSH
+  bucketing + in-bucket verification (see operators/similarity.py for the
+  shared vector kernels).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hyped_spark.functions.hashing import (
+    hamming64_col,
+    jaccard_col,
+    lsh_bands_col,
+    minhash_signature_col,
+    shingles_col,
+    simhash64,
+    token_hashes_col,
+    tokens_col,
+)
+from hyped_spark.functions.text import fingerprint_col
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact normalized-text fingerprint."""
+    keyed = df.withColumn("__fp", fingerprint_col(F.col(text_col)))
+    reps = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    # semi-join back to recover full rows of the representatives only
+    return keyed.join(reps, [id_col, "__fp"], "left_semi").drop("__fp")
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    return df.withColumn("__shingles", shingles_col(tokens_col(F.col(text_col)), n))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) with verified Jaccard.
+
+    Plan shape: project (id, shingles, signature) → explode bands →
+    shuffle once on (band, bhash) → in-bucket pairing → exact-Jaccard
+    verify → distinct pairs. The text column never shuffles.
+    """
+    rows_per_band = n_hashes // n_bands
+    base = (
+        with_shingles(df, text_col, shingle_n)
+        .withColumn("__sig", minhash_signature_col(F.col("__shingles"), n_hashes))
+        .select(
+            F.col(id_col).alias("id"),
+            "__shingles",
+            F.explode(lsh_bands_col(F.col("__sig"), n_bands, rows_per_band)).alias("b"),
+        )
+        .select("id", "__shingles", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+    )
+    left = base.select(F.col("id").alias("id_a"), F.col("__shingles").alias("sh_a"), "band", "bhash")
+    right = base.select(F.col("id").alias("id_b"), F.col("__shingles").alias("sh_b"), "band", "bhash")
+    cand = (
+        left.join(right, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  **kwargs) -> DataFrame:
+    """Drop near-duplicates: for each verified pair keep the smaller id.
+
+    Union-find-free approximation standard in web dedup: a doc is dropped if
+    it is the greater id in ANY verified pair (connected components would
+    need iteration; this one-pass rule is what large corpus pipelines use).
+    """
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard (no LSH) — the small-data oracle for
+    minhash_lsh_pairs and a correctness baseline. O(n²): only for modest n;
+    the scale path is minhash_lsh_pairs."""
+    base = with_shingles(df, text_col, shingle_n).select(
+        F.col(id_col).alias("id"), "__shingles"
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("__shingles").alias("sh_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("__shingles").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via 4-chunk banding (exact for distance ≤ 3).
+
+    Pigeonhole: two 64-bit hashes within Hamming distance 3 agree on at
+    least one of four 16-bit chunks — join on (chunk_idx, chunk_value),
+    verify with bit_count(xor). One shuffle on the chunk buckets.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        simhash64(token_hashes_col(tokens_col(F.col(text_col)))).alias("sh"),
+    )
+    chunks = hashed.select(
+        "id", "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    F.shiftright(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                )
+                for i in range(4)
+            ])
+        ).alias("c"),
+    ).select("id", "sh", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    left = chunks.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "ci", "cv")
+    right = chunks.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "ci", "cv")
+    return (
+        left.join(right, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64_col(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

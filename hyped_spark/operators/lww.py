@@ -1,0 +1,83 @@
+"""Last-writer-wins per-batch deduplication (the merge kernel).
+
+The reference's closest analogue is greedy span-overlap conflict resolution
+(resolve_overlaps KEEP_LAST, /root/reference/src/hyped/data/processors/spans/
+common.py:148-232) — per-key conflict resolution by an ordering column. Here
+it is the relational form: one surviving row per key, max order column.
+
+Two physical strategies, same logical result:
+
+- ``lww_dedup``            : window-rank ``row_number() over (partition by key
+                             order by ord desc) = 1``. One shuffle on key.
+- ``lww_dedup_salted``     : two-phase for skewed keys — pre-reduce per
+                             (key, salt) then reduce per key. The first
+                             aggregation is map-side-combinable and spreads a
+                             hot key over ``n_salt`` reducers, so no single
+                             task receives the whole hot key's data. Use when
+                             one url can dominate a microbatch (north rule
+                             skew requirement).
+
+Both use ``max_by``-style struct-max aggregation rather than a sort where
+possible: ``max(struct(ord, payload))`` is a partial-aggregatable hash
+aggregate (map-side combine), strictly cheaper at scale than a full
+window sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def lww_dedup(df: DataFrame, key: str = "url", ord_col: str = "lsn") -> DataFrame:
+    """Keep the max-``ord_col`` row per ``key`` (window-rank form).
+
+    Ties on ``ord_col`` cannot occur in a binlog (LSN is a total order); if
+    the input violates that, the winner among equal LSNs is unspecified.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ord_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def lww_dedup_agg(df: DataFrame, key: str = "url", ord_col: str = "lsn") -> DataFrame:
+    """Same result via hash aggregation: ``max(struct(ord, *payload))``.
+
+    Partial-aggregatable (map-side combine) — preferred physical form when
+    the payload is small enough to flow through an aggregate buffer. For
+    web-page payloads (html can be MBs) the window form can be cheaper in
+    memory; benchmarked in bench.py.
+    """
+    payload = [c for c in df.columns if c != key]
+    # ord_col first in the struct => struct max == max by ord_col
+    ordered = [ord_col] + [c for c in payload if c != ord_col]
+    packed = df.groupBy(key).agg(
+        F.max(F.struct(*[F.col(c) for c in ordered])).alias("__best")
+    )
+    return packed.select(key, *[F.col(f"__best.{c}").alias(c) for c in ordered])
+
+
+def lww_dedup_salted(
+    df: DataFrame,
+    key: str = "url",
+    ord_col: str = "lsn",
+    n_salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant two-phase LWW reduce.
+
+    Phase 1 groups by (key, salt) where salt spreads a hot key across
+    ``n_salt`` reducers; phase 2 reduces the ≤``n_salt`` survivors per key.
+    The salt is derived from ``ord_col`` (deterministic, no rand()) so
+    repeated runs produce identical plans and results.
+    """
+    payload = [c for c in df.columns if c != key]
+    ordered = [ord_col] + [c for c in payload if c != ord_col]
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.col(ord_col)), F.lit(n_salt)))
+    phase1 = salted.groupBy(key, "__salt").agg(
+        F.max(F.struct(*[F.col(c) for c in ordered])).alias("__best")
+    )
+    phase2 = phase1.groupBy(key).agg(F.max("__best").alias("__best"))
+    return phase2.select(key, *[F.col(f"__best.{c}").alias(c) for c in ordered])

@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline. Dot
+  products are native (``zip_with`` + ``aggregate``), top-k is a window rank
+  per query. Cost O(n_queries × n_corpus): fine when one side broadcasts.
+- ``lsh_topk``: the scale path — random-hyperplane LSH (sign sketch) buckets
+  the corpus; a query only scores candidates sharing a band. Hyperplanes are
+  derived from a seeded hash (deterministic, identical across executors) and
+  applied natively via precomputed per-dimension sign arrays.
+- ``embedding_neardup_pairs``: corpus self-near-dup via the same bucketing.
+
+At 1000-executor scale: the corpus-side projection (id, sketch, norm) is
+what shuffles — never the raw vectors twice; candidate scoring is a bucket
+join; AQE handles bucket skew.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Native dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query (broadcast the smaller query side)."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cosine", F.round(cosine_col(F.col("__qv"), F.col("__cv")), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane sketching (deterministic)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    """n_bits × dim matrix of ±1 hyperplane signs from a seeded SHA stream."""
+    rows = []
+    for i in range(n_bits):
+        d = hashlib.sha256(f"hyperplane|{seed}|{i}".encode()).digest()
+        # expand deterministically to dim bytes
+        buf = bytearray()
+        j = 0
+        while len(buf) < dim:
+            buf.extend(hashlib.sha256(d + j.to_bytes(4, "big")).digest())
+            j += 1
+        bits = np.frombuffer(bytes(buf[:dim]), dtype=np.uint8)
+        rows.append(np.where(bits & 1, 1.0, -1.0))
+    return np.stack(rows)
+
+
+def make_sketch_udf(dim: int, n_bits: int = 16, seed: int = 42):
+    """Arrow-vectorized sign-sketch UDF: array<float> → int64 bucket id."""
+    H = _hyperplanes(dim, n_bits, seed)
+
+    @F.pandas_udf(T.LongType())
+    def sketch(vec: pd.Series) -> pd.Series:  # pragma: no cover (executor)
+        M = np.stack(vec.to_numpy())  # (batch, dim)
+        signs = (M @ H.T) > 0  # (batch, n_bits)
+        weights = (1 << np.arange(n_bits, dtype=np.int64))
+        return pd.Series(signs.astype(np.int64) @ weights)
+
+    return sketch
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's bucket.
+
+    Recall/cost dial = n_bits (fewer bits → bigger buckets → higher recall).
+    Multi-probe (flipping one bit) is the standard extension; single-probe
+    keeps the plan to one equi-join here.
+    """
+    from pyspark.sql import Window
+
+    sketch = make_sketch_udf(dim, n_bits)
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")).withColumn(
+        "__bucket", sketch(F.col("__cv"))
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")).withColumn(
+        "__bucket", sketch(F.col("__qv"))
+    )
+    scored = c.join(F.broadcast(q), "__bucket").withColumn(
+        "cosine", F.round(cosine_col(F.col("__qv"), F.col("__cv")), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    min_cosine: float = 0.95,
+    n_bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Self near-dup pairs (id_a < id_b) with cosine ≥ threshold, bucketed."""
+    sketch = make_sketch_udf(dim, n_bits)
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "__bucket", sketch(F.col("v"))
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "__bucket")
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "__bucket")
+    return (
+        a.join(b, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

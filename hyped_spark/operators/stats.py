@@ -1,0 +1,72 @@
+"""Statistics operators (reference A1–A6) — partial+final aggregation.
+
+The reference computes per-batch partial aggregates merged under a lock
+(/root/reference/src/hyped/data/processors/statistics/base.py:37-209,
+report.py:18-147); Spark's hash aggregate does the same partial/final split
+natively with map-side combine — these helpers only shape the query.
+
+Each returns a small aggregate DataFrame (fits driver/broadcast); at 100 TB
+the input-side scan is the cost and all of these are single-shuffle
+(or shuffle-free for the global ones under partial aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mean_and_std(df: DataFrame, col: str) -> DataFrame:
+    """≙ MeanAndStd (statistics/value/mean_and_std.py:25-184): Chan-style
+    incremental merge == Spark's partial aggregation of avg/stddev/count."""
+    return df.agg(
+        F.mean(col).alias("mean"),
+        F.stddev_pop(col).alias("std"),
+        F.count(col).alias("n"),
+    )
+
+
+def histogram(df: DataFrame, col: str, low: float, high: float, n_bins: int) -> DataFrame:
+    """≙ Histogram (statistics/value/hist.py:24-157): fixed-range binning
+    with clipping — ``width_bucket`` + groupBy, one shuffle of n_bins rows."""
+    clipped = F.least(F.greatest(F.col(col), F.lit(low)), F.lit(high))
+    bin_idx = F.least(
+        F.width_bucket(clipped, F.lit(low), F.lit(high), F.lit(n_bins)) - 1,
+        F.lit(n_bins - 1),
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bin_idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )
+
+
+def discrete_histogram(df: DataFrame, col: str) -> DataFrame:
+    """≙ DiscreteHistogram (statistics/value/disc_hist.py:22-150)."""
+    return df.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def seq_len_histogram(df: DataFrame, col: str) -> DataFrame:
+    """≙ SequenceLengthHistogram (statistics/sequence/seq_len_hist.py:20-107)."""
+    return df.groupBy(F.size(F.col(col)).alias("length")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def seq_val_histogram(df: DataFrame, col: str, low: float, high: float,
+                      n_bins: int) -> DataFrame:
+    """≙ SequenceValueHistogram (statistics/sequence/seq_val_hist.py:16-83):
+    histogram over flattened array values (explode → bin → count)."""
+    flat = df.select(F.explode(F.col(col)).alias("v"))
+    return histogram(flat, "v", low, high, n_bins)
+
+
+def disc_seq_val_histogram(df: DataFrame, col: str) -> DataFrame:
+    """≙ DiscreteSequenceValueHistogram (statistics/sequence/
+    disc_seq_val_hist.py:19-90)."""
+    return (
+        df.select(F.explode(F.col(col)).alias("value"))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,157 @@
+"""Batch replay engine: LSN-chunked microbatches → transform → dedup → merge.
+
+This is the heart of the CDC loop (SURVEY.md §7.3 M2). Each microbatch:
+
+1. **transform** — vectorized HTML→text extraction (Arrow pandas UDF); null
+   for deletes. This is the reference's heavy batch processor slot
+   (/root/reference/src/hyped/data/processors/tokenizers/hf.py:404-441 is the
+   model: declared output schema, batch-vectorized execution).
+2. **dedup** — salted two-phase LWW reduce per url (skew-safe).
+3. **merge** — idempotent bucket-level copy-on-write merge with
+   transactional schema evolution (SnapshotTable.merge_batch).
+4. **lineage** — one metrics row per (batch, bucket) appended to a metrics
+   table: lsn range, rows applied, latency, snapshot id. The Spark-native
+   replacement for the reference's consumer throughput meter
+   (/root/reference/src/hyped/common/consumer.py:240-285).
+
+The same `apply_batch` is the `foreachBatch` body of the streaming
+front-end (hyped_spark.streaming) — batch and stream share one code path,
+like the reference's shared batch/iterable `DataPipe.apply`
+(/root/reference/src/hyped/data/pipe.py:288-407).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hyped_spark.functions.text import extract_text
+from hyped_spark.lake.table import MergeStats, SnapshotTable
+from hyped_spark.operators.lww import lww_dedup_salted
+
+METRICS_SCHEMA = T.StructType([
+    T.StructField("batch_id", T.LongType()),
+    T.StructField("partition_id", T.IntegerType()),
+    T.StructField("lsn_min", T.LongType()),
+    T.StructField("lsn_max", T.LongType()),
+    T.StructField("rows_applied", T.LongType()),
+    T.StructField("merge_latency_ms", T.LongType()),
+    T.StructField("snapshot_id", T.LongType()),
+])
+
+
+def target_schema(with_fetch_status: bool = False) -> T.StructType:
+    """Initial target-table schema (FIXTURES.md §1 + lsn for LWW/idempotence)."""
+    fields = [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+    if with_fetch_status:
+        fields.append(T.StructField("fetch_status", T.LongType()))
+    return T.StructType(fields)
+
+
+def build_merge_source(events: DataFrame, n_salt: int = 16) -> DataFrame:
+    """Change events → merge-ready source: extract text, salted LWW dedup.
+
+    Column pruning note: `text` is derived before dedup would waste work on
+    rows that lose the LWW race — so dedup FIRST, then extract on the ≤1
+    row/url survivors. At 100 TB this ordering cuts UDF work by the dup
+    factor of the batch.
+    """
+    deduped = lww_dedup_salted(events, key="url", ord_col="lsn", n_salt=n_salt)
+    return deduped.withColumn("text", extract_text(F.col("html")))
+
+
+@dataclass
+class ReplayConfig:
+    table_path: str
+    metrics_path: str
+    batch_lsns: int = 100_000       # LSNs per microbatch
+    n_buckets: int = 16             # table buckets (≫ at real scale)
+    n_salt: int = 16                # salt fan-out for hot keys
+
+
+class ReplayEngine:
+    """Replays an LSN-ordered change log into a SnapshotTable."""
+
+    def __init__(self, spark: SparkSession, cfg: ReplayConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.table = SnapshotTable(
+            spark, cfg.table_path, key="url", ord_col="lsn", n_buckets=cfg.n_buckets
+        )
+
+    # -- metrics ------------------------------------------------------------
+
+    def _append_metrics(self, stats: MergeStats) -> None:
+        rows = [
+            (stats.batch_id, b, stats.lsn_min, stats.lsn_max, n,
+             stats.merge_latency_ms, stats.snapshot_id)
+            for b, n in sorted((stats.bucket_rows or {}).items())
+        ] or [(stats.batch_id, -1, stats.lsn_min, stats.lsn_max, 0,
+               stats.merge_latency_ms, stats.snapshot_id)]
+        df = self.spark.createDataFrame(rows, METRICS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self.cfg.metrics_path)
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.schema(METRICS_SCHEMA).parquet(self.cfg.metrics_path)
+
+    # -- the loop -----------------------------------------------------------
+
+    def apply_batch(self, events: DataFrame, batch_id: int) -> MergeStats:
+        """Transform + dedup + merge + record lineage for one microbatch.
+
+        The lineage lsn range / row count are taken from the RAW events
+        (source offset range), not the deduped survivors — a metadata-sized
+        aggregation pushed into the scan.
+        """
+        agg = events.agg(F.min("lsn"), F.max("lsn"), F.count(F.lit(1))).collect()[0]
+        if agg[0] is None:  # empty batch
+            v = self.table.current_version()
+            return MergeStats(batch_id, v, -1, -1, 0, 0, 0, 0, 0, 0,
+                              skipped_replay=True)
+        source = build_merge_source(events, n_salt=self.cfg.n_salt)
+        stats = self.table.merge_batch(
+            source, batch_id=batch_id,
+            lsn_min=int(agg[0]), lsn_max=int(agg[1]), rows_in_batch=int(agg[2]),
+        )
+        if not stats.skipped_replay:
+            self._append_metrics(stats)
+        return stats
+
+    def replay(self, log: DataFrame, init_schema: T.StructType | None = None) -> list[MergeStats]:
+        """Replay a whole log in LSN-range microbatches.
+
+        The per-batch filter ``lsn ∈ [a, b)`` is pushed down to the parquet
+        scan (row-group min/max pruning — segments are written in LSN order),
+        so each batch reads only its slice of the log, not the whole log.
+        """
+        if self.table.current_version() < 0:
+            self.table.init_empty(init_schema or target_schema())
+        bounds = log.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+        if bounds[0] is None:
+            return []
+        lo, hi = int(bounds[0]), int(bounds[1])
+        out: list[MergeStats] = []
+        start = self.table.last_committed_lsn() + 1  # resume point
+        start = max(start, lo)
+        # align batch boundaries to absolute LSN ranges so batch ids are
+        # stable across resume (batch k always covers [k*B, (k+1)*B))
+        first_batch = start // self.cfg.batch_lsns
+        last_batch = hi // self.cfg.batch_lsns
+        for k in range(first_batch, last_batch + 1):
+            a = max(k * self.cfg.batch_lsns, start)
+            b = (k + 1) * self.cfg.batch_lsns
+            batch = log.filter((F.col("lsn") >= a) & (F.col("lsn") < b))
+            stats = self.apply_batch(batch, batch_id=k)
+            out.append(stats)
+        return out

@@ -1,0 +1,88 @@
+"""SparkSession factory for the engine.
+
+One place to own the configs that matter at scale:
+
+- AQE on (runtime shuffle-partition coalescing + skew-join splitting);
+- Arrow transport on (all custom compute is pandas-UDF based, per
+  BASELINE.json input_hint: "no per-row Python");
+- UTC session timezone (oracle comparisons against DuckDB are UTC-naive);
+- shuffle partitions sized to cores in local mode (200 default is wrong for
+  both tiny local runs and would be re-set per cluster deploy anyway).
+
+At cluster scale the same builder is used by ``spark-submit --py-files``;
+only ``master`` and memory knobs change.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _package_zip() -> str:
+    """Zip the hyped_spark package for shipping to executors.
+
+    This is the programmatic equivalent of ``spark-submit --py-files`` —
+    executor Python workers must be able to unpickle the pandas UDFs, which
+    reference module-level functions in this package.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(), "hyped_spark_pyfiles.zip")
+    with zipfile.ZipFile(out, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "hyped_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    return out
+
+
+def get_spark(
+    app_name: str = "hyped_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession tuned for the engine.
+
+    ``cores=None`` uses ``$SPARK_GRAFT_CPUS`` (default 32). Shuffle
+    partitions default to the core count — partial aggregation and AQE
+    coalescing make more partitions pure overhead on local data sizes,
+    while on a real cluster this is overridden to ~2-3x total cores.
+    """
+    cores = cores or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cores
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addPyFile(_package_zip())
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

