@@ -1,38 +1,696 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``    — flagship: end-to-end CDC replay of a deterministic
+                      synthetic binlog into a SnapshotTable; returns the
+                      final table state (minus binary payload for hashing).
+``queries()``       — one entry per implemented operator (SURVEY.md §2 +
+                      training-pipeline extensions), each (spark, sf_dir) →
+                      DataFrame.
+``oracle_sql()``    — DuckDB-equivalent SQL for every SQL-expressible query;
+                      column names/aliases match the Spark output exactly.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship CDC replay
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Replay a 2k-event deterministic binlog through the CDC engine and
+    return the final table state (url, lsn, lang, fetch_status, text)."""
+    from hyped_spark.plans.replay import ReplayConfig, ReplayEngine
+    from hyped_spark.sources.synthetic import binlog
+
+    work = tempfile.mkdtemp(prefix="hyped_spark_entry_")
+    log = binlog(spark, n_events=2_000, n_urls=150)
+    engine = ReplayEngine(
+        spark,
+        ReplayConfig(
+            table_path=os.path.join(work, "table"),
+            metrics_path=os.path.join(work, "metrics"),
+            batch_lsns=1_000,
+            n_buckets=8,
+            n_salt=4,
+        ),
+    )
+    engine.replay(log)
+    return engine.table.read().select("url", "lsn", "lang", "fetch_status", "text")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analogue: grouped sums/avgs on lineitem (SURVEY §2.7 A1 + §2.8)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice per customer (window rank, §2.8)."""
+    o = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ nation, broadcast dims, grouped revenue (§2.8)."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    n = _load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (§2.8 semi/anti)."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def events_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LWW kernel (window-rank dedup) on the events table (§2.8)."""
+    from hyped_spark.operators.lww import lww_dedup
+
+    e = _load(spark, sf_dir, "events")
+    return lww_dedup(e, key="user_id", ord_col="event_id").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+
+def events_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase LWW reduce — same semantics as events_lww_latest."""
+    from hyped_spark.operators.lww import lww_dedup_salted
+
+    e = _load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    out = lww_dedup_salted(e, key="user_id", ord_col="event_id", n_salt=8)
+    return out.select("user_id", "event_id", "ts", "event_type", "value")
+
+
+def union_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution-tolerant union (unionByName allowMissingColumns, §2.8)."""
+    o = _load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b = o.filter(F.col("o_orderkey") % 2 == 1).select("o_orderkey", "o_custkey")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def project_restructure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FormatFeatures analogue (P1): rename + computed + constant columns."""
+    from hyped_spark.operators.restructure import Const, format_features
+
+    c = _load(spark, sf_dir, "customer")
+    return format_features(
+        c,
+        {
+            "id": "c_custkey",
+            "name": "c_name",
+            "balance_cents": F.round(F.col("c_acctbal") * 100).cast("long"),
+            "source": Const("customer"),
+        },
+    )
+
+
+def drop_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FilterFeatures analogue (P3): remove column set."""
+    from hyped_spark.operators.restructure import filter_features
+
+    p = _load(spark, sf_dir, "part")
+    return filter_features(p, remove=["p_type", "p_retailprice"])
+
+
+def flatten_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlattenFeatures analogue (P2): nest then flatten with ':' names."""
+    from hyped_spark.operators.restructure import flatten_features
+
+    s = _load(spark, sf_dir, "supplier")
+    nested = s.select(
+        "s_suppkey",
+        F.struct(
+            F.col("s_name").alias("name"), F.col("s_acctbal").alias("acctbal")
+        ).alias("info"),
+    )
+    return flatten_features(nested, delimiter=":")
+
+
+def explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator fan-out analogue (F2/X2): explode part-name words + count."""
+    p = _load(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split(F.col("p_name"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChunkSequence analogue (X1): overlapping token windows, 1 row → k."""
+    from hyped_spark.operators.chunkq import chunk_tokens_query
+
+    return chunk_tokens_query(_load(spark, sf_dir, "documents"))
+
+
+def parse_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JsonParser analogue (R1): typed JSON field extraction + aggregation."""
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def seq_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3/R4/R6 composition: split → extend → filter-by-set → join back."""
+    from hyped_spark.operators.sequence import extend_seq, filter_seq, join_str_seq
+
+    p = _load(spark, sf_dir, "part")
+    df = p.select("p_partkey", F.split(F.col("p_name"), " ").alias("toks"))
+    df = extend_seq(df, "toks", "toks2", prepend=["part"], append=["end"])
+    df = filter_seq(
+        df, "toks2",
+        ["part", "end", "green", "red", "blue", "ivory", "linen"],
+        "kept",
+    )
+    df = join_str_seq(df, "kept", "kept_str", delimiter="-")
+    return df.select("p_partkey", "kept_str")
+
+
+def mask_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ApplyMask analogue (R5): filter parallel array by boolean mask."""
+    from hyped_spark.operators.sequence import apply_mask
+
+    p = _load(spark, sf_dir, "part")
+    df = p.select("p_partkey", F.split(F.col("p_name"), " ").alias("toks"))
+    df = df.withColumn("mask", F.transform(F.col("toks"), lambda t: F.length(t) > 4))
+    df = apply_mask(df, "mask", ["toks"])
+    return df.select(
+        "p_partkey", F.array_join(F.col("toks_masked"), " ").alias("long_toks")
+    )
+
+
+def hist_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram analogue (A2): fixed-range binning of l_quantity."""
+    from hyped_spark.operators.stats import histogram
+
+    return histogram(_load(spark, sf_dir, "lineitem"), "l_quantity", 0.0, 50.0, 10)
+
+
+def disc_hist_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiscreteHistogram analogue (A3)."""
+    from hyped_spark.operators.stats import discrete_histogram
+
+    return discrete_histogram(_load(spark, sf_dir, "orders"), "o_orderstatus")
+
+
+def seq_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SequenceLengthHistogram analogue (A4) over document tokens."""
+    from hyped_spark.operators.stats import seq_len_histogram
+
+    d = _load(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " ").alias("toks")
+    )
+    return seq_len_histogram(d, "toks")
+
+
+def mean_std_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MeanAndStd analogue (A1)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.mean("l_extendedprice"), 4).alias("mean"),
+        F.round(F.stddev_pop("l_extendedprice"), 4).alias("std"),
+        F.count("l_extendedprice").alias("n"),
+    )
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counting (whitespace + BPE-ish regex)."""
+    from hyped_spark.functions.text import bpe_token_estimate_col
+
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        bpe_token_estimate_col(F.col("text")).alias("n_bpe"),
+        F.length("text").alias("n_chars_check"),
+    )
+
+
+def lang_id_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic distribution over documents."""
+    from hyped_spark.functions.text import lang_id_col
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.select(lang_id_col(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: distinct normalized-content count per source."""
+    from hyped_spark.functions.text import fingerprint_col
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", fingerprint_col(F.col("text")))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("fp").alias("n_distinct"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy) representatives on documents."""
+    from hyped_spark.operators.dedup import exact_dedup
+
+    d = _load(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id").select("doc_id", "source", "n_chars")
+
+
+def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (small-data oracle for MinHash)."""
+    from hyped_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, min_jaccard=0.4)
+
+
+def minhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (scale path; verified vs exact in tests)."""
+    from hyped_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "text", "doc_id", n_hashes=64, n_bands=16, shingle_n=3, min_jaccard=0.4
+    )
+
+
+def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (banded Hamming ≤ 3)."""
+    from hyped_spark.operators.dedup import simhash_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    return simhash_pairs(d, "text", "doc_id", max_hamming=3)
+
+
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 8 vectors as queries."""
+    from hyped_spark.operators.similarity import brute_force_topk
+
+    emb = _load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=5)
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (scale path; recall tested in pytest)."""
+    from hyped_spark.operators.similarity import lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, dim=dim, k=5, n_bits=6)
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane LSH buckets."""
+    from hyped_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = _load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    dim = len(emb.select("embedding").first()[0])
+    return embedding_neardup_pairs(emb, dim=dim, min_cosine=0.9, n_bits=6)
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score distribution buckets over documents."""
+    from hyped_spark.functions.text import quality_score_col
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.select(F.floor(quality_score_col(F.col("text")) * 10).alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "top_orders_per_cust": top_orders_per_cust,
+        "revenue_per_nation": revenue_per_nation,
+        "customers_without_orders": customers_without_orders,
+        "events_lww_latest": events_lww_latest,
+        "events_lww_salted": events_lww_salted,
+        "union_evolved": union_evolved,
+        "project_restructure": project_restructure,
+        "drop_columns": drop_columns,
+        "flatten_struct": flatten_struct,
+        "explode_words": explode_words,
+        "chunk_tokens": chunk_tokens,
+        "parse_json_props": parse_json_props,
+        "seq_ops": seq_ops,
+        "mask_tokens": mask_tokens,
+        "hist_quantity": hist_quantity,
+        "disc_hist_status": disc_hist_status,
+        "seq_len_hist": seq_len_hist,
+        "mean_std_price": mean_std_price,
+        "token_stats": token_stats,
+        "lang_id_dist": lang_id_dist,
+        "doc_fingerprints": doc_fingerprints,
+        "exact_dedup_docs": exact_dedup_docs,
+        "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
+        "minhash_pairs_docs": minhash_pairs_docs,
+        "simhash_pairs_docs": simhash_pairs_docs,
+        "ann_topk_cosine": ann_topk_cosine,
+        "ann_topk_lsh": ann_topk_lsh,
+        "embedding_neardup": embedding_neardup,
+        "quality_scores": quality_scores,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_STOP_EN = "the|and|of|to|in|is|that|with|for|was"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_orders_per_cust": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
+        "revenue_per_nation": """
+            SELECT n_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "events_lww_latest": """
+            SELECT user_id, event_id, ts, event_type, value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                                             ORDER BY event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "events_lww_salted": """
+            SELECT user_id, event_id, ts, event_type, value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                                             ORDER BY event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "union_evolved": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL BY NAME
+            SELECT o_orderkey, o_custkey, NULL::DOUBLE AS o_totalprice
+            FROM orders WHERE o_orderkey % 2 = 1
+        """,
+        "project_restructure": """
+            SELECT c_custkey AS id, c_name AS name,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS balance_cents,
+                   'customer' AS source
+            FROM customer
+        """,
+        "drop_columns": """
+            SELECT p_partkey, p_name, p_brand, p_size FROM part
+        """,
+        "flatten_struct": """
+            SELECT s_suppkey, s_name AS "info:name", s_acctbal AS "info:acctbal"
+            FROM supplier
+        """,
+        "explode_words": """
+            SELECT word, count(*) AS n FROM (
+                SELECT unnest(string_split(p_name, ' ')) AS word FROM part
+            ) GROUP BY word
+        """,
+        "chunk_tokens": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), starts AS (
+                SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 4)) AS s
+                FROM toks
+            )
+            SELECT doc_id,
+                   CAST(s / 4 AS INT) AS chunk_pos,
+                   array_to_string(list_slice(t, s + 1, s + 8), ' ') AS chunk_str
+            FROM starts
+            WHERE len(list_slice(t, s + 1, s + 8)) >= 1
+        """,
+        "parse_json_props": """
+            SELECT event_type,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "seq_ops": """
+            SELECT p_partkey,
+                   array_to_string(
+                     list_filter(
+                       list_concat(list_concat(['part'], string_split(p_name, ' ')), ['end']),
+                       x -> list_contains(['part','end','green','red','blue','ivory','linen'], x)
+                     ), '-') AS kept_str
+            FROM part
+        """,
+        "mask_tokens": """
+            SELECT p_partkey,
+                   coalesce(array_to_string(
+                     list_filter(string_split(p_name, ' '), x -> len(x) > 4),
+                     ' '), '') AS long_toks
+            FROM part
+        """,
+        "hist_quantity": """
+            SELECT bin, count(*) AS n FROM (
+                SELECT least(CAST(floor(least(greatest(l_quantity, 0), 50) / 5.0) AS INT), 9) AS bin
+                FROM lineitem WHERE l_quantity IS NOT NULL
+            ) GROUP BY bin ORDER BY bin
+        """,
+        "disc_hist_status": """
+            SELECT o_orderstatus AS value, count(*) AS n FROM orders GROUP BY o_orderstatus
+        """,
+        "seq_len_hist": """
+            SELECT len(string_split(text, ' ')) AS length, count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "mean_std_price": """
+            SELECT round(avg(l_extendedprice), 4) AS mean,
+                   round(stddev_pop(l_extendedprice), 4) AS std,
+                   count(l_extendedprice) AS n
+            FROM lineitem
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_bpe,
+                   length(text) AS n_chars_check
+            FROM documents
+        """,
+        "lang_id_dist": _lang_id_oracle(),
+        "doc_fingerprints": """
+            SELECT source,
+                   count(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS n_distinct,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source
+        """,
+        "exact_dedup_docs": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE doc_id IN (
+                SELECT min(doc_id) FROM documents
+                GROUP BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+            )
+        """,
+        "ngram_jaccard_pairs_docs": _jaccard_oracle(min_jaccard=0.4),
+        "ann_topk_cosine": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ), q AS (
+                SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 8
+            ), scored AS (
+                SELECT q.query_id, v.vec_id,
+                       round(
+                         list_dot_product(q.qe, v.e) /
+                         (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e))),
+                         6) AS cosine
+                FROM v CROSS JOIN q
+            )
+            SELECT query_id, vec_id, cosine, rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "quality_scores": _quality_oracle(),
+    }
+
+
+def _lang_id_oracle() -> str:
+    stop = {
+        "en": _STOP_EN,
+        "de": "der|die|und|das|ist|nicht|mit|ein|für|von",
+        "fr": "le|la|les|et|des|est|dans|pour|que|une",
+        "es": "el|los|las|es|en|por|para|con|una|del",
+        "it": "il|di|che|per|con|non|una|sono|della|gli",
+    }
+    score = {
+        lang: f"len(regexp_extract_all(text, '(?i)\\b({words})\\b'))"
+        for lang, words in stop.items()
+    }
+    m = f"greatest({score['en']}, {score['de']}, {score['fr']}, {score['es']}, {score['it']})"
+    case = (
+        f"CASE WHEN {m} = 0 THEN 'und' "
+        + " ".join(
+            f"WHEN {score[lang]} = {m} THEN '{lang}'"
+            for lang in ["en", "de", "fr", "es", "it"]
+        )
+        + " END"
+    )
+    return f"""
+        SELECT lang_guess, count(*) AS n FROM (
+            SELECT {case} AS lang_guess FROM documents
+        ) GROUP BY lang_guess
     """
-    return {}
+
+
+def _jaccard_oracle(min_jaccard: float) -> str:
+    # shingles: lowercase unicode-word tokens -> 3-gram strings (distinct);
+    # docs shorter than 3 tokens use the whole doc as one shingle —
+    # mirrors hyped_spark.functions.hashing.shingles_col exactly.
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                               x -> len(x) > 0) AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN
+                     list_distinct([array_to_string(list_slice(t, i, i + 2), ' ')
+                                    for i in range(1, len(t) - 1)])
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+            FROM toks
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= {min_jaccard}
+    """
+
+
+def _quality_oracle() -> str:
+    n = "greatest(length(text), 1)"
+    alpha = f"len(regexp_extract_all(text, '[A-Za-z]')) / {n}"
+    punct = f"len(regexp_extract_all(text, '[^\\w\\s]')) / {n}"
+    words = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    stop = f"len(regexp_extract_all(text, '(?i)\\b({_STOP_EN})\\b'))"
+    stop_density = f"{stop} / greatest({words}, 1)"
+    length_score = "least(length(text) / 1000.0, 1.0)"
+    score = (
+        f"round(0.25 * {length_score} + 0.35 * {alpha} "
+        f"+ 0.25 * least({stop_density} * 4, 1.0) "
+        f"+ 0.15 * (1.0 - least({punct} * 4, 1.0)), 4)"
+    )
+    return f"""
+        SELECT decile, count(*) AS n FROM (
+            SELECT CAST(floor({score} * 10) AS BIGINT) AS decile FROM documents
+        ) GROUP BY decile
+    """

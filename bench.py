@@ -1,0 +1,119 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also reports ``cdc_events_per_sec`` — the north-rule metric (sustained
+merge-apply throughput) measured over a deterministic synthetic binlog
+replay into a fresh SnapshotTable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# queries from the driver contract worth timing at bench scale
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "revenue_per_nation",
+    "top_orders_per_cust",
+    "events_lww_latest",
+    "events_lww_salted",
+    "explode_words",
+    "chunk_tokens",
+    "token_stats",
+    "lang_id_dist",
+    "exact_dedup_docs",
+    "minhash_pairs_docs",
+    "simhash_pairs_docs",
+    "ann_topk_cosine",
+    "ann_topk_lsh",
+    "embedding_neardup",
+]
+
+# CDC replay sizing per sf dir (events, urls, batch_lsns)
+CDC_SIZES = {
+    "sf0.001": (5_000, 400, 2_500),
+    "sf0.01": (20_000, 1_500, 10_000),
+    "sf0.1": (60_000, 5_000, 20_000),
+}
+
+
+def main() -> None:
+    from hyped_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("hyped_spark_bench", cores=CPUS, shuffle_partitions=CPUS)
+    sf_name = os.path.basename(SF_DIR.rstrip("/"))
+    sf = float(sf_name.replace("sf", "") or 0.1) if sf_name.startswith("sf") else 0.1
+
+    timings: dict[str, float] = {}
+    queries = entrymod.queries()
+
+    # -- warmup (JVM + Arrow path) --
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    for name in BENCH_QUERIES:
+        df = queries[name](spark, SF_DIR)
+        t0 = time.monotonic()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # -- CDC merge-apply throughput (the north-rule headline) --
+    from hyped_spark.plans.replay import ReplayConfig, ReplayEngine
+    from hyped_spark.sources.synthetic import binlog
+
+    n_events, n_urls, batch_lsns = CDC_SIZES.get(sf_name, CDC_SIZES["sf0.1"])
+    work = tempfile.mkdtemp(prefix="hyped_spark_bench_")
+    try:
+        # materialize the log first so generation cost isn't in the timing
+        log_path = os.path.join(work, "log")
+        binlog(spark, n_events, n_urls, partitions=CPUS).write.parquet(log_path)
+        log = spark.read.parquet(log_path)
+        engine = ReplayEngine(
+            spark,
+            ReplayConfig(
+                table_path=os.path.join(work, "table"),
+                metrics_path=os.path.join(work, "metrics"),
+                batch_lsns=batch_lsns,
+                n_buckets=min(CPUS, 32),
+                n_salt=8,
+            ),
+        )
+        t0 = time.monotonic()
+        stats = engine.replay(log)
+        cdc_sec = time.monotonic() - t0
+        applied = sum(s.rows_in_batch for s in stats if not s.skipped_replay)
+        timings["cdc_replay"] = round(cdc_sec, 3)
+        events_per_sec = round(applied / cdc_sec, 1)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cdc_events_per_sec": events_per_sec,
+        "cdc_events": applied,
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

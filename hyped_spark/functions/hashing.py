@@ -63,18 +63,14 @@ def minhash_signature_col(shingles: Column, k: int = 64, seed: int = 42) -> Colu
     min over shingle hashes s of (a_i·(s mod p) + b_i) mod p. Products stay
     < 2^62 (both factors < 2^31), so 64-bit arithmetic is exact.
     """
-    sigs = []
-    for a, b in _coeffs(k, seed):
-        sigs.append(
-            F.array_min(
-                F.transform(
-                    shingles,
-                    lambda s, a=a, b=b: (
-                        F.lit(a) * F.pmod(s, F.lit(MERSENNE_P)) + F.lit(b)
-                    ) % F.lit(MERSENNE_P),
-                )
-            )
+    def perm(a: int, b: int):
+        # closure factory — a default-arg lambda would change the lambda's
+        # arity, which PySpark inspects to bind higher-order-function vars
+        return lambda s: (F.lit(a) * F.pmod(s, F.lit(MERSENNE_P)) + F.lit(b)) % F.lit(
+            MERSENNE_P
         )
+
+    sigs = [F.array_min(F.transform(shingles, perm(a, b))) for a, b in _coeffs(k, seed)]
     return F.array(*sigs)
 
 

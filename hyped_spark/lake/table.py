@@ -49,6 +49,15 @@ from hyped_spark.schema import SchemaDiff, align_to_schema, apply_diff, diff_sch
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
 
+# Deletes persist as tombstone rows (null payload, this flag set). This makes
+# the LWW merge COMMUTATIVE across microbatches: a late-delivered update with
+# a lower LSN than an applied delete loses to the tombstone instead of
+# resurrecting the row. Required because streaming file sources deliver part
+# files in mtime order, not LSN order. Tombstones are filtered from read();
+# GC (dropping tombstones older than a low-watermark LSN) is a compaction
+# concern, orthogonal to correctness.
+_TOMBSTONE = "__tombstone"
+
 
 def bucket_expr(key_col: str, n_buckets: int) -> F.Column:
     """Stable bucket id for a key — the table's partitioning function."""
@@ -154,45 +163,47 @@ class SnapshotTable:
             raise ValueError(f"table {self.path} has no snapshots")
         c = self._read_commit(v)
         schema = T.StructType.fromJson(c["schemas"][-1])
+        df = self._read_groups(c, list(c["buckets"].values()), schema,
+                               keep_tombstones=False)
+        return df
+
+    def _read_groups(self, commit: dict, infos: list[dict],
+                     schema: T.StructType, keep_tombstones: bool) -> DataFrame:
+        """Read a set of bucket dirs, grouped by written schema id (one scan
+        per schema group, so the plan stays small with thousands of buckets)."""
+        ts_field = T.StructField(_TOMBSTONE, T.BooleanType())
+        target = T.StructType(list(schema.fields) + [ts_field])
         groups: dict[int, list[str]] = {}
-        for info in c["buckets"].values():
+        for info in infos:
             groups.setdefault(info["schema_id"], []).append(
                 os.path.join(self.path, info["path"])
             )
         if not groups:
-            return self.spark.createDataFrame([], schema)
-        parts = []
-        for sid, paths in sorted(groups.items()):
-            df = self.spark.read.schema(
-                T.StructType.fromJson(c["schemas"][sid])
-            ).parquet(*paths)
-            parts.append(align_to_schema(df, schema))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            out = self.spark.createDataFrame([], target)
+        else:
+            parts = []
+            for sid, paths in sorted(groups.items()):
+                phys = T.StructType(
+                    list(T.StructType.fromJson(commit["schemas"][sid]).fields)
+                    + [ts_field]
+                )
+                df = self.spark.read.schema(phys).parquet(*paths)
+                parts.append(align_to_schema(df, target))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        out = out.withColumn(
+            _TOMBSTONE, F.coalesce(F.col(_TOMBSTONE), F.lit(False))
+        )
+        if keep_tombstones:
+            return out
+        return out.filter(~F.col(_TOMBSTONE)).drop(_TOMBSTONE)
 
     def _read_buckets(self, commit: dict, bucket_ids: list[int],
                       schema: T.StructType) -> DataFrame:
-        groups: dict[int, list[str]] = {}
-        for b in bucket_ids:
-            info = commit["buckets"].get(str(b))
-            if info is not None:
-                groups.setdefault(info["schema_id"], []).append(
-                    os.path.join(self.path, info["path"])
-                )
-        if not groups:
-            return self.spark.createDataFrame([], schema)
-        parts = []
-        for sid, paths in sorted(groups.items()):
-            df = self.spark.read.schema(
-                T.StructType.fromJson(commit["schemas"][sid])
-            ).parquet(*paths)
-            parts.append(align_to_schema(df, schema))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        infos = [commit["buckets"][str(b)] for b in bucket_ids
+                 if str(b) in commit["buckets"]]
+        return self._read_groups(commit, infos, schema, keep_tombstones=True)
 
     # ---------------- write path ----------------
 
@@ -219,6 +230,7 @@ class SnapshotTable:
         lsn_max: int | None = None,
         rows_in_batch: int | None = None,
         op_col: str = "op",
+        guard: str = "lsn",
     ) -> MergeStats:
         """Idempotent LWW MERGE of a deduped change batch.
 
@@ -227,9 +239,20 @@ class SnapshotTable:
         other column is payload. Equivalent Iceberg SQL (cluster path):
 
             MERGE INTO target t USING updates s ON t.url = s.url
-            WHEN MATCHED AND s.op = 'delete' AND s.lsn > t.lsn THEN DELETE
+            WHEN MATCHED AND s.op = 'delete' AND s.lsn > t.lsn THEN UPDATE
+                SET __tombstone = true, lsn = s.lsn   -- tombstone, see below
             WHEN MATCHED AND s.lsn > t.lsn THEN UPDATE SET *
-            WHEN NOT MATCHED AND s.op != 'delete' THEN INSERT *
+            WHEN NOT MATCHED THEN INSERT *            -- incl. tombstones
+
+        Replay guard (``guard``):
+        - "lsn":      skip when lsn_max ≤ the committed lsn high-watermark.
+                      For LSN-ordered batch replay, where ranges are monotone.
+        - "batch_id": skip when batch_id ≤ the committed batch id. For
+                      streaming foreachBatch epochs, which are monotone even
+                      when their LSN contents are not (file sources deliver
+                      part files in mtime order, not LSN order). Merge order
+                      across epochs doesn't matter: tombstoned LWW is
+                      commutative — each batch applied exactly once.
         """
         t0 = time.monotonic()
         cur_version = self.current_version()
@@ -247,8 +270,13 @@ class SnapshotTable:
             lsn_min = lsn_min if lsn_min is not None else (agg[0] if agg[0] is not None else -1)
             lsn_max = lsn_max if lsn_max is not None else (agg[1] if agg[1] is not None else -1)
             rows_in_batch = rows_in_batch if rows_in_batch is not None else agg[2]
-        committed = int(commit["summary"].get("lsn_max", -1))
-        if lsn_max <= committed:
+        committed_lsn = int(commit["summary"].get("lsn_max", -1))
+        committed_batch = int(commit["summary"].get("batch_id", -1))
+        replayed = (
+            lsn_max <= committed_lsn if guard == "lsn"
+            else batch_id <= committed_batch
+        )
+        if replayed:
             return MergeStats(batch_id, cur_version, lsn_min, lsn_max,
                               rows_in_batch, 0, 0, 0, 0,
                               int((time.monotonic() - t0) * 1000),
@@ -266,8 +294,8 @@ class SnapshotTable:
         new_schema_id = len(schemas) - 1
 
         src = align_to_schema(
-            updates.withColumn("__op", F.col(op_col)),
-            T.StructType(new_schema.fields + [T.StructField("__op", T.StringType())]),
+            updates.withColumn(_TOMBSTONE, F.col(op_col) == "delete"),
+            T.StructType(new_schema.fields + [T.StructField(_TOMBSTONE, T.BooleanType())]),
         )
 
         # ---- touched-bucket pruning (metadata-size collect: ≤ n_buckets) ----
@@ -279,7 +307,7 @@ class SnapshotTable:
                 src.groupBy("__bucket")
                 .agg(
                     F.count(F.lit(1)).alias("n"),
-                    F.count(F.when(F.col("__op") == "delete", 1)).alias("n_del"),
+                    F.count(F.when(F.col(_TOMBSTONE), 1)).alias("n_del"),
                 )
                 .collect()
             )
@@ -290,27 +318,27 @@ class SnapshotTable:
             n_upserted = n_dedup - n_deleted
 
             current = self._read_buckets(commit, touched, new_schema)
-            current = (
-                current.withColumn("__op", F.lit("current"))
-                .withColumn("__bucket", bucket_expr(self.key, self.n_buckets))
+            current = current.withColumn(
+                "__bucket", bucket_expr(self.key, self.n_buckets)
             )
 
-            # LWW resolve: union current+updates, keep max-lsn row per key,
-            # drop rows whose winner is a delete. Hash-agg (map-combinable),
-            # shuffles once on key — and only over touched buckets' data.
+            # LWW resolve: union current+updates, keep max-lsn row per key.
+            # Tombstone winners persist (null payload, flag set) so merges
+            # commute across batches. Hash-agg (map-side combinable), one
+            # shuffle on key — and only over touched buckets' data.
             cols = [f.name for f in new_schema.fields]
-            ordered = [self.ord_col] + [c for c in cols if c != self.ord_col and c != self.key]
+            ordered = [self.ord_col] + [
+                c for c in cols if c != self.ord_col and c != self.key
+            ] + [_TOMBSTONE]
             unioned = current.unionByName(src)
-            winners = (
+            survivors = (
                 unioned.groupBy(self.key, "__bucket")
-                .agg(F.max(F.struct(*[F.col(c) for c in ordered + ["__op"]])).alias("b"))
+                .agg(F.max(F.struct(*[F.col(c) for c in ordered])).alias("b"))
                 .select(
                     self.key, "__bucket",
                     *[F.col(f"b.{c}").alias(c) for c in ordered],
-                    F.col("b.__op").alias("__op"),
                 )
             )
-            survivors = winners.filter(F.col("__op") != "delete").drop("__op")
 
             # ---- rewrite touched buckets under the new snapshot ----
             new_version = cur_version + 1
@@ -346,8 +374,10 @@ class SnapshotTable:
             "ord_col": self.ord_col,
             "summary": {
                 "lsn_min": int(lsn_min),
-                "lsn_max": int(lsn_max),
-                "batch_id": int(batch_id),
+                # high-watermarks stay monotone even if epochs arrive with
+                # out-of-order LSN contents
+                "lsn_max": max(int(lsn_max), committed_lsn),
+                "batch_id": max(int(batch_id), committed_batch),
                 "rows_in_batch": int(rows_in_batch),
                 "rows_after_dedup": int(n_dedup),
                 "rows_upserted": int(n_upserted),

@@ -107,7 +107,8 @@ class ReplayEngine:
 
     # -- the loop -----------------------------------------------------------
 
-    def apply_batch(self, events: DataFrame, batch_id: int) -> MergeStats:
+    def apply_batch(self, events: DataFrame, batch_id: int,
+                    guard: str = "lsn") -> MergeStats:
         """Transform + dedup + merge + record lineage for one microbatch.
 
         The lineage lsn range / row count are taken from the RAW events
@@ -123,6 +124,7 @@ class ReplayEngine:
         stats = self.table.merge_batch(
             source, batch_id=batch_id,
             lsn_min=int(agg[0]), lsn_max=int(agg[1]), rows_in_batch=int(agg[2]),
+            guard=guard,
         )
         if not stats.skipped_replay:
             self._append_metrics(stats)

@@ -86,7 +86,10 @@ def stream_once(spark: SparkSession, cfg: StreamConfig,
     )
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
-        engine.apply_batch(batch_df, batch_id=int(epoch_id))
+        # epoch ids are monotone across restarts (streaming checkpoint), but
+        # their LSN contents need not be ordered — use the batch-id guard;
+        # tombstoned LWW makes out-of-order epoch application commutative.
+        engine.apply_batch(batch_df, batch_id=int(epoch_id), guard="batch_id")
 
     q = (
         src.writeStream.foreachBatch(apply)
