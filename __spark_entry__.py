@@ -390,6 +390,39 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, dim=dim, min_cosine=0.9, n_bits=6)
 
 
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's latest click at ts <= purchase ts."""
+    from hyped_spark.operators.joins import asof_join
+
+    e = _load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(purchases, clicks, on="ts", by="user_id",
+                    right_cols=["click_id"])
+    return out.select("user_id", "purchase_id", "click_id")
+
+
+def range_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (bucketized equi-join) on part-size ranges."""
+    from hyped_spark.operators.joins import range_join
+
+    p = _load(spark, sf_dir, "part")
+    a = p.filter(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").alias("pk_a"), F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("b_a"), (F.col("p_size") + 6).alias("e_a"),
+    )
+    b = p.filter(F.col("p_partkey") % 3 == 1).select(
+        F.col("p_partkey").alias("pk_b"), F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("b_b"), (F.col("p_size") + 4).alias("e_b"),
+    )
+    out = range_join(a, b, ("b_a", "e_a"), ("b_b", "e_b"), by="brand", width=8)
+    return out.select("pk_a", "pk_b", "brand")
+
+
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-score distribution buckets over documents."""
     from hyped_spark.functions.text import quality_score_col
@@ -434,6 +467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": ann_topk_lsh,
         "embedding_neardup": embedding_neardup,
         "quality_scores": quality_scores,
+        "asof_join_events": asof_join_events,
+        "range_join_parts": range_join_parts,
     }
 
 
@@ -595,6 +630,31 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "ngram_jaccard_pairs_docs": _jaccard_oracle(min_jaccard=0.4),
+        "asof_join_events": """
+            WITH purchases AS (
+                SELECT user_id, ts, event_id AS purchase_id FROM events
+                WHERE event_type = 'purchase'
+            ), clicks AS (
+                SELECT user_id, ts, event_id AS click_id FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT p.user_id, p.purchase_id, c.click_id
+            FROM purchases p
+            ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "range_join_parts": """
+            WITH a AS (
+                SELECT p_partkey AS pk_a, p_brand AS brand,
+                       p_size AS b_a, p_size + 6 AS e_a
+                FROM part WHERE p_partkey % 3 = 0
+            ), b AS (
+                SELECT p_partkey AS pk_b, p_brand AS brand,
+                       p_size AS b_b, p_size + 4 AS e_b
+                FROM part WHERE p_partkey % 3 = 1
+            )
+            SELECT a.pk_a, b.pk_b, a.brand
+            FROM a JOIN b ON a.brand = b.brand AND a.b_a < b.e_b AND b.b_b < a.e_a
+        """,
         "ann_topk_cosine": """
             WITH v AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -261,30 +261,15 @@ class SnapshotTable:
         commit = self._read_commit(cur_version)
         self.n_buckets = int(commit.get("n_buckets", self.n_buckets))
         cur_schema = T.StructType.fromJson(commit["schemas"][-1])
-
-        # ---- lsn range + replay guard (metadata-only aggregation) ----
-        if lsn_min is None or lsn_max is None or rows_in_batch is None:
-            agg = updates.agg(
-                F.min(self.ord_col), F.max(self.ord_col), F.count(F.lit(1))
-            ).collect()[0]
-            lsn_min = lsn_min if lsn_min is not None else (agg[0] if agg[0] is not None else -1)
-            lsn_max = lsn_max if lsn_max is not None else (agg[1] if agg[1] is not None else -1)
-            rows_in_batch = rows_in_batch if rows_in_batch is not None else agg[2]
         committed_lsn = int(commit["summary"].get("lsn_max", -1))
         committed_batch = int(commit["summary"].get("batch_id", -1))
-        replayed = (
-            lsn_max <= committed_lsn if guard == "lsn"
-            else batch_id <= committed_batch
-        )
-        if replayed:
-            return MergeStats(batch_id, cur_version, lsn_min, lsn_max,
-                              rows_in_batch, 0, 0, 0, 0,
-                              int((time.monotonic() - t0) * 1000),
-                              skipped_replay=True)
 
-        # ---- schema evolution (transactional: lands in the same commit) ----
+        # ---- schema evolution (transactional: lands in the same commit).
+        # __-prefixed columns are engine metadata (per-key batch stats from
+        # build_merge_source), never part of the table schema.
         incoming_schema = T.StructType(
-            [f for f in updates.schema.fields if f.name != op_col]
+            [f for f in updates.schema.fields
+             if f.name != op_col and not f.name.startswith("__")]
         )
         diff = diff_schemas(cur_schema, incoming_schema)
         new_schema = apply_diff(cur_schema, diff)
@@ -293,29 +278,65 @@ class SnapshotTable:
             schemas.append(new_schema.jsonValue())
         new_schema_id = len(schemas) - 1
 
-        src = align_to_schema(
-            updates.withColumn(_TOMBSTONE, F.col(op_col) == "delete"),
-            T.StructType(new_schema.fields + [T.StructField(_TOMBSTONE, T.BooleanType())]),
+        src0 = (
+            updates.withColumn(_TOMBSTONE, F.col(op_col) == "delete")
+            .withColumn("__bucket", bucket_expr(self.key, self.n_buckets))
+            .persist()
         )
-
-        # ---- touched-bucket pruning (metadata-size collect: ≤ n_buckets) ----
-        src = src.withColumn("__bucket", bucket_expr(self.key, self.n_buckets))
-        src = src.persist()
+        has_stats = "__lsn_max" in updates.columns
         try:
-            # one metadata aggregation: touched buckets + batch composition
-            meta = (
-                src.groupBy("__bucket")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.count(F.when(F.col(_TOMBSTONE), 1)).alias("n_del"),
-                )
-                .collect()
-            )
+            # ONE job computes the whole merge source (dedup + extraction),
+            # persists it, and returns metadata-sized per-bucket stats:
+            # touched buckets, batch composition, and the raw lsn range.
+            stat_aggs = [
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col(_TOMBSTONE), 1)).alias("n_del"),
+            ]
+            if has_stats:
+                stat_aggs += [
+                    F.sum("__n_events").alias("raw_n"),
+                    F.min("__lsn_min").alias("lmin"),
+                    F.max("__lsn_max").alias("lmax"),
+                ]
+            else:
+                stat_aggs += [
+                    F.count(F.lit(1)).alias("raw_n"),
+                    F.min(self.ord_col).alias("lmin"),
+                    F.max(self.ord_col).alias("lmax"),
+                ]
+            meta = src0.groupBy("__bucket").agg(*stat_aggs).collect()
             touched = [int(r["__bucket"]) for r in meta]
             bucket_rows = {int(r["__bucket"]): int(r["n"]) for r in meta}
             n_dedup = sum(r["n"] for r in meta)
             n_deleted = sum(r["n_del"] for r in meta)
             n_upserted = n_dedup - n_deleted
+            if lsn_min is None:
+                lsn_min = min((r["lmin"] for r in meta), default=-1)
+            if lsn_max is None:
+                lsn_max = max((r["lmax"] for r in meta), default=-1)
+            if rows_in_batch is None:
+                rows_in_batch = sum(
+                    (r["raw_n"] if r["raw_n"] is not None else r["n"]) for r in meta
+                )
+            lsn_min, lsn_max = int(lsn_min), int(lsn_max)
+
+            # ---- replay guard (after the source build: wasted compute on a
+            # replayed batch is acceptable; an incorrect commit is not) ----
+            replayed = (
+                lsn_max <= committed_lsn if guard == "lsn"
+                else batch_id <= committed_batch
+            ) or not meta
+            if replayed:
+                return MergeStats(batch_id, cur_version, lsn_min, lsn_max,
+                                  int(rows_in_batch), 0, 0, 0, 0,
+                                  int((time.monotonic() - t0) * 1000),
+                                  skipped_replay=True)
+
+            src = align_to_schema(
+                src0,
+                T.StructType(new_schema.fields
+                             + [T.StructField(_TOMBSTONE, T.BooleanType())]),
+            ).withColumn("__bucket", bucket_expr(self.key, self.n_buckets))
 
             current = self._read_buckets(commit, touched, new_schema)
             current = current.withColumn(
@@ -351,7 +372,7 @@ class SnapshotTable:
                 .parquet(out_dir)
             )
         finally:
-            src.unpersist()
+            src0.unpersist()
 
         # ---- manifest: new paths for touched, carry-forward for the rest.
         # A touched bucket with zero survivors (everything deleted) produces

@@ -1,0 +1,93 @@
+"""Cross-row join operators Spark lacks natively: as-of join, range join.
+
+The reference has no cross-row joins (SURVEY §2.8); these are the
+engine-level operators a CDC/analytics user needs, built shuffle-consciously:
+
+- ``asof_join``  : for each left row, the latest right row with
+  ``right.ts <= left.ts`` per key — implemented with the union+window trick
+  (tag sides, single sort-shuffle on (key, ts), last non-null carry-forward).
+  One shuffle total; no range explosion; scales to arbitrarily large sides
+  (vs broadcast-and-filter or per-key ``merge_asof`` which needs grouping).
+- ``range_join`` : interval-overlap equi-join via bucketization: each
+  interval lands in the ``width``-sized buckets it covers; join on
+  (key, bucket) then filter exact overlap and dedupe. Turns the O(n·m)
+  theta-join into an equi-join Catalyst can hash-partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row: columns of the most recent right row per ``by``
+    with ``right.on <= left.on`` (NULLs when none). Exactly one shuffle."""
+    right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
+    lrow_t = left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+    rrow_t = right.select(F.struct(*right_cols).alias("s")).schema["s"].dataType
+    l_tag = left.select(
+        F.col(by), F.col(on), F.lit(1).alias("__is_left"),
+        F.struct(*left.columns).alias("__lrow"),
+        F.lit(None).cast(rrow_t).alias("__rrow"),
+    )
+    r_tag = right.select(
+        F.col(by), F.col(on), F.lit(0).alias("__is_left"),
+        F.lit(None).cast(lrow_t).alias("__lrow"),
+        F.struct(*right_cols).alias("__rrow"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at equal ts => right row AT left.ts matches
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn("__last_r", F.last("__rrow", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__is_left") == 1)
+    lcols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
+    rcols = [
+        F.col(f"__last_r.{c}").alias(c + suffix if c in left.columns else c)
+        for c in right_cols
+    ]
+    return out.select(*lcols, *rcols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_range: tuple[str, str],
+    right_range: tuple[str, str],
+    by: str | None = None,
+    width: int = 1000,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-overlap join (end-exclusive) via bucket equi-join.
+
+    ``width`` trades duplication (long intervals span many buckets) against
+    bucket selectivity; pick ≈ the median interval length. The exact overlap
+    predicate is re-applied after the equi-join, and duplicates from
+    multi-bucket overlap are removed with a distinct on the join identity.
+    """
+    lb, le = left_range
+    rb, re_ = right_range
+    lbuck = left.withColumn(
+        "__bucket",
+        F.explode(F.sequence(F.floor(F.col(lb) / width), F.floor((F.col(le) - 1) / width))),
+    )
+    rbuck = right.withColumn(
+        "__bucket",
+        F.explode(F.sequence(F.floor(F.col(rb) / width), F.floor((F.col(re_) - 1) / width))),
+    )
+    keys = ["__bucket"] + ([by] if by else [])
+    joined = lbuck.join(rbuck, keys, how)
+    overlap = (F.col(lb) < F.col(re_)) & (F.col(rb) < F.col(le))
+    out_cols = [c for c in joined.columns if c != "__bucket"]
+    return joined.filter(overlap).select(*out_cols).distinct()

@@ -76,32 +76,38 @@ def gen_html(url: str, version: int) -> bytes:
     return doc.encode("utf-8")
 
 
-# -- pandas-UDF wrappers (executor-side, Arrow-batched) ----------------------
+# -- single-pass event synthesis (one mapInPandas stage, not chained UDFs) --
+
+_BASE_EPOCH_US = pd.Timestamp(BASE_TS).value // 1000
 
 
-@F.pandas_udf(T.BinaryType())
-def _gen_html_udf(url: pd.Series, version: pd.Series) -> pd.Series:  # pragma: no cover
-    return pd.Series(
-        [gen_html(u, int(v)) for u, v in zip(url, version)], dtype=object
-    )
+def _op_for(h: int) -> str:
+    m = h % 10
+    return "insert" if m < 2 else ("update" if m < 9 else "delete")
 
 
-@F.pandas_udf(T.StringType())
-def _url_udf(i: pd.Series) -> pd.Series:  # pragma: no cover
-    return i.map(url_for)
-
-
-@F.pandas_udf(T.StringType())
-def _lang_udf(url: pd.Series) -> pd.Series:  # pragma: no cover
-    return url.map(lang_for)
-
-
-@F.pandas_udf(T.LongType())
-def _hash_udf(tag: pd.Series, val: pd.Series) -> pd.Series:  # pragma: no cover
-    # signed-64 wrap to fit LongType
-    return pd.Series(
-        [(_h(t, v) & 0x7FFFFFFFFFFFFFFF) for t, v in zip(tag, val)], dtype="int64"
-    )
+def events_pdf(lsns, n_urls: int, hot_urls: int, hot_pct: int) -> pd.DataFrame:
+    """Events for an array of lsns — pure function of lsn (order-free)."""
+    rows = {"lsn": [], "op": [], "url": [], "warc_ts": [], "html": [], "lang": []}
+    for lsn in lsns:
+        lsn = int(lsn)
+        h = _h("evt", lsn) & 0x7FFFFFFFFFFFFFFF
+        if h % 100 < hot_pct:
+            uidx = (h >> 8) % hot_urls
+        else:
+            uidx = (h >> 16) % n_urls
+        url = url_for(uidx)
+        op = _op_for(h)
+        rows["lsn"].append(lsn)
+        rows["op"].append(op)
+        rows["url"].append(url)
+        rows["warc_ts"].append(_BASE_EPOCH_US + lsn * 1_000_000)
+        rows["html"].append(None if op == "delete" else gen_html(url, lsn))
+        rows["lang"].append(lang_for(url))
+    out = pd.DataFrame(rows)
+    out["warc_ts"] = pd.to_datetime(out["warc_ts"], unit="us")
+    out["_h"] = [(_h("evt", int(x)) & 0x7FFFFFFFFFFFFFFF) for x in out["lsn"]]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -110,18 +116,35 @@ def _hash_udf(tag: pd.Series, val: pd.Series) -> pd.Series:  # pragma: no cover
 
 
 def pages_table(spark: SparkSession, n_urls: int, partitions: int | None = None) -> DataFrame:
-    """Deterministic pages table: url, warc_ts, html, text=NULL (engine fills), lang."""
-    from hyped_spark.functions.text import extract_text
+    """Deterministic pages table: url, warc_ts, html, text, lang — one
+    mapInPandas pass (generation + extraction in a single Arrow stage)."""
+    from hyped_spark.functions.text import extract_text_bytes
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+
+    def gen(batches):  # pragma: no cover (executor)
+        for pdf in batches:
+            urls = [url_for(int(i)) for i in pdf["id"]]
+            htmls = [gen_html(u, 0) for u in urls]
+            out = pd.DataFrame({
+                "url": urls,
+                "warc_ts": pd.to_datetime(
+                    [_BASE_EPOCH_US + int(i) * 1_000_000 for i in pdf["id"]], unit="us"
+                ),
+                "html": htmls,
+                "text": [extract_text_bytes(h) for h in htmls],
+                "lang": [lang_for(u) for u in urls],
+            })
+            yield out
 
     df = spark.range(0, n_urls, numPartitions=partitions)
-    df = (
-        df.withColumn("url", _url_udf(F.col("id")))
-        .withColumn("warc_ts", F.to_timestamp(F.lit(BASE_TS)) + F.make_dt_interval(secs=F.col("id")))
-        .withColumn("html", _gen_html_udf(F.col("url"), F.lit(0)))
-        .withColumn("lang", _lang_udf(F.col("url")))
-    )
-    df = df.withColumn("text", extract_text(F.col("html")))
-    return df.select("url", "warc_ts", "html", "text", "lang")
+    return df.mapInPandas(gen, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -135,15 +158,6 @@ ADD_FRAC = 0.4
 WIDEN_FRAC = 0.7
 
 
-def _op_col(h: F.Column) -> F.Column:
-    m = F.pmod(h, F.lit(10))
-    return (
-        F.when(m < 2, F.lit("insert"))
-        .when(m < 9, F.lit("update"))
-        .otherwise(F.lit("delete"))
-    )
-
-
 def _event_frame(
     spark: SparkSession,
     lsn_start: int,
@@ -153,29 +167,27 @@ def _event_frame(
     hot_pct: int,
     partitions: int | None,
 ) -> DataFrame:
-    """Events with lsn in [lsn_start, lsn_end); pure function of lsn."""
-    df = spark.range(lsn_start, lsn_end, numPartitions=partitions).withColumnRenamed("id", "lsn")
-    h = _hash_udf(F.lit("evt"), F.col("lsn"))
-    df = df.withColumn("_h", h)
-    # skew: hot_pct% of events hit one of `hot_urls` keys
-    url_idx = F.when(
-        F.pmod(F.col("_h"), F.lit(100)) < hot_pct,
-        F.pmod(F.shiftright(F.col("_h"), 8), F.lit(hot_urls)),
-    ).otherwise(F.pmod(F.shiftright(F.col("_h"), 16), F.lit(n_urls)))
-    df = df.withColumn("_uidx", url_idx)
-    df = df.withColumn("url", _url_udf(F.col("_uidx")))
-    df = df.withColumn("op", _op_col(F.col("_h")))
-    df = df.withColumn(
-        "warc_ts", F.to_timestamp(F.lit(BASE_TS)) + F.make_dt_interval(secs=F.col("lsn"))
-    )
-    df = df.withColumn(
-        "html",
-        F.when(F.col("op") == "delete", F.lit(None).cast("binary")).otherwise(
-            _gen_html_udf(F.col("url"), F.col("lsn"))
-        ),
-    )
-    df = df.withColumn("lang", _lang_udf(F.col("url")))
-    return df
+    """Events with lsn in [lsn_start, lsn_end); pure function of lsn.
+
+    One mapInPandas stage generates every column (hash routing with
+    hot_pct% skew toward `hot_urls` keys, op mix 20/70/10
+    insert/update/delete, deterministic HTML payload)."""
+    schema = T.StructType([
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("_h", T.LongType()),
+    ])
+
+    def gen(batches):  # pragma: no cover (executor)
+        for pdf in batches:
+            yield events_pdf(pdf["id"].to_numpy(), n_urls, hot_urls, hot_pct)
+
+    base = spark.range(lsn_start, lsn_end, numPartitions=partitions)
+    return base.mapInPandas(gen, schema)
 
 
 def binlog_segments(

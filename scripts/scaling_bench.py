@@ -1,0 +1,152 @@
+"""Scaling-efficiency evidence (BASELINE.md protocol).
+
+Runs the IDENTICAL CDC merge-apply job on IDENTICAL input at two parallelism
+levels (local[N] and local[4N]) in separate subprocesses (fresh JVM each, so
+no shared-session interference), ≥3 timed repetitions each, median reported.
+
+    python scripts/scaling_bench.py [--n 8] [--events 120000] [--reps 3]
+
+Writes results to BENCH/BASELINE.md and prints a JSON summary.
+The sandbox substitute for the north rule's N→4N executor criterion:
+efficiency = T(4N) / (4 × T(N)) computed on events/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from hyped_spark.session import get_spark
+from hyped_spark.plans.replay import ReplayConfig, ReplayEngine
+
+cores = int(sys.argv[1]); log_path = sys.argv[2]; reps = int(sys.argv[3])
+batch_lsns = int(sys.argv[4])
+spark = get_spark("scaling_bench", cores=cores, shuffle_partitions=cores)
+log = spark.read.parquet(log_path)
+results = []
+for rep in range(reps + 1):  # first is warmup
+    work = tempfile.mkdtemp(prefix=f"scale_{{cores}}_")
+    engine = ReplayEngine(spark, ReplayConfig(
+        table_path=os.path.join(work, "t"), metrics_path=os.path.join(work, "m"),
+        batch_lsns=batch_lsns, n_buckets=cores, n_salt=8))
+    t0 = time.monotonic()
+    stats = engine.replay(log)
+    dt = time.monotonic() - t0
+    applied = sum(s.rows_in_batch for s in stats if not s.skipped_replay)
+    shutil.rmtree(work, ignore_errors=True)
+    if rep > 0:
+        results.append({{"sec": dt, "events": applied, "eps": applied / dt}})
+print("RESULT " + json.dumps(results))
+"""
+
+
+def run_level(cores: int, log_path: str, reps: int, batch_lsns: int) -> list[dict]:
+    script = WORKER.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cores), log_path, str(reps), str(batch_lsns)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"worker failed (cores={cores}):\n{out.stderr[-3000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8, help="lower parallelism N (upper = 4N)")
+    ap.add_argument("--events", type=int, default=120_000)
+    ap.add_argument("--urls", type=int, default=10_000)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--batch-lsns", type=int, default=40_000)
+    args = ap.parse_args()
+
+    # materialize one fixed input log (identical for both levels)
+    gen = tempfile.mkdtemp(prefix="scaling_log_")
+    log_path = os.path.join(gen, "log")
+    gen_script = (
+        f"import sys; sys.path.insert(0, {REPO!r})\n"
+        "from hyped_spark.session import get_spark\n"
+        "from hyped_spark.sources.synthetic import binlog\n"
+        "spark = get_spark('gen', cores=32, shuffle_partitions=32)\n"
+        f"binlog(spark, {args.events}, {args.urls}, partitions=64)"
+        f".write.mode('overwrite').parquet({log_path!r})\n"
+    )
+    subprocess.run([sys.executable, "-c", gen_script], check=True, timeout=1800,
+                   capture_output=True, text=True)
+
+    lo = run_level(args.n, log_path, args.reps, args.batch_lsns)
+    hi = run_level(args.n * 4, log_path, args.reps, args.batch_lsns)
+
+    eps_lo = statistics.median(r["eps"] for r in lo)
+    eps_hi = statistics.median(r["eps"] for r in hi)
+    eff = eps_hi / (4 * eps_lo)
+    summary = {
+        "n": args.n, "events": args.events,
+        "eps_lo": round(eps_lo, 1), "eps_hi": round(eps_hi, 1),
+        "sec_lo": round(statistics.median(r["sec"] for r in lo), 2),
+        "sec_hi": round(statistics.median(r["sec"] for r in hi), 2),
+        "efficiency": round(eff, 3),
+        "pass": eff >= 0.8,
+        "runs_lo": lo, "runs_hi": hi,
+    }
+    print(json.dumps(summary))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    import pyspark
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured engine numbers
+
+## Scaling efficiency (north-rule criterion, sandbox protocol)
+
+Identical CDC merge-apply job (LSN-chunked replay of a deterministic
+{args.events:,}-event binlog over {args.urls:,} urls, salted LWW dedup +
+vectorized text extraction + bucketed copy-on-write merge) on identical
+input at two parallelism levels, fresh JVM per level, warmup discarded,
+median of {args.reps} reps.
+
+| level | cores | median sec | median events/sec |
+|---|---|---|---|
+| N | {args.n} | {summary["sec_lo"]} | {summary["eps_lo"]:,} |
+| 4N | {args.n * 4} | {summary["sec_hi"]} | {summary["eps_hi"]:,} |
+
+**Scaling efficiency = eps(4N) / (4 x eps(N)) = {summary["efficiency"]}**
+(criterion >= 0.8: {"PASS" if summary["pass"] else "FAIL"})
+
+All repetitions (sec, events/sec):
+
+- local[{args.n}]: {[(round(r["sec"], 2), round(r["eps"], 1)) for r in lo]}
+- local[{args.n * 4}]: {[(round(r["sec"], 2), round(r["eps"], 1)) for r in hi]}
+
+## Environment
+
+- Spark {pyspark.__version__}, local mode (single JVM, N executor threads)
+- shuffle partitions = cores; AQE on; Arrow pandas UDFs for extraction
+- table buckets = cores; salt fan-out 8; batch size {args.batch_lsns:,} LSNs
+- host: 32 cores, 125 GiB RAM
+
+## Extrapolation to 10^10 events (documented method)
+
+The replay loop cost is per-batch fixed overhead (snapshot commit, bucket
+manifest, ~10 Spark jobs) + per-event work (UDF extraction, shuffle,
+parquet IO). At 10^10 events with batches of 10^8 LSNs the fixed overhead
+amortizes to noise; per-event cost scales with executors because every
+stage (scan, dedup aggregation, bucket rewrite) is key- or range-partitioned
+with no driver-side data movement (collects are metadata-only: per-bucket
+counts). The measured single-node events/sec x executor count, derated by
+the measured scaling efficiency, is the projected cluster throughput.
+""")
+
+
+if __name__ == "__main__":
+    main()

