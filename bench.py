@@ -77,7 +77,10 @@ def main() -> None:
     from hyped_spark.sources.synthetic import binlog
 
     n_events, n_urls, batch_lsns = CDC_SIZES.get(sf_name, CDC_SIZES["sf0.1"])
-    work = tempfile.mkdtemp(prefix="hyped_spark_bench_")
+    # tmpfs: keep the throughput measurement off the sandbox's throttled
+    # virtual disk (same rationale as scripts/scaling_bench.py)
+    bench_dir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="hyped_spark_bench_", dir=bench_dir)
     try:
         # materialize the log first so generation cost isn't in the timing
         log_path = os.path.join(work, "log")

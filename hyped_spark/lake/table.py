@@ -38,7 +38,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass, asdict
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -146,7 +146,13 @@ class SnapshotTable:
         return self.current_version()
 
     def history(self) -> list[dict]:
-        return [self._read_commit(v) for v in range(self.current_version() + 1)]
+        out = []
+        for v in range(self.current_version() + 1):
+            try:
+                out.append(self._read_commit(v))
+            except FileNotFoundError:  # expired snapshot
+                pass
+        return out
 
     # ---------------- read path ----------------
 
@@ -222,37 +228,127 @@ class SnapshotTable:
             "summary": {"lsn_max": -1, "batch_id": -1, "operation": "create"},
         })
 
-    def merge_batch(
+    # ---------------- maintenance ----------------
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop old snapshot metadata and delete data dirs no current
+        snapshot references (≙ Iceberg expire_snapshots). Returns the
+        number of data directories removed. Time travel to expired
+        snapshots stops working; the latest ``keep_last`` remain."""
+        import shutil
+
+        cur = self.current_version()
+        if cur < 0:
+            return 0
+        keep_versions = [v for v in range(max(0, cur - keep_last + 1), cur + 1)]
+        referenced: set[str] = set()
+        for v in keep_versions:
+            c = self._read_commit(v)
+            for info in c["buckets"].values():
+                # bucket paths look like data/snap000…/__bucket=k
+                referenced.add(info["path"].split(os.sep + "__bucket=")[0])
+        data_root = os.path.join(self.path, _DATA_DIR)
+        removed = 0
+        for d in os.listdir(data_root):
+            rel = os.path.join(_DATA_DIR, d)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                removed += 1
+        for v in range(0, keep_versions[0]):
+            try:
+                os.unlink(self._log_path(v))
+            except FileNotFoundError:
+                pass
+        return removed
+
+    def compact(self) -> int:
+        """Rewrite every bucket into one fresh snapshot: merges the
+        schema-group fragmentation, drops tombstones (GC — safe once no
+        lower-LSN events can still arrive, i.e. between ingest sessions),
+        and leaves a single schema id. Returns the new snapshot id."""
+        cur_version = self.current_version()
+        if cur_version < 0:
+            raise ValueError("nothing to compact")
+        commit = self._read_commit(cur_version)
+        schema = T.StructType.fromJson(commit["schemas"][-1])
+        live = self._read_groups(
+            commit, list(commit["buckets"].values()), schema, keep_tombstones=False
+        ).withColumn("__bucket", bucket_expr(self.key, self.n_buckets))
+        new_version = cur_version + 1
+        rel = os.path.join(_DATA_DIR, f"snap{new_version:010d}")
+        (
+            live.withColumn(_TOMBSTONE, F.lit(False))
+            .repartition(self.n_buckets, F.col("__bucket"))
+            .write.mode("overwrite").partitionBy("__bucket")
+            .parquet(os.path.join(self.path, rel))
+        )
+        buckets = {}
+        for b in range(self.n_buckets):
+            bucket_rel = os.path.join(rel, f"__bucket={b}")
+            if os.path.isdir(os.path.join(self.path, bucket_rel)):
+                buckets[str(b)] = {"path": bucket_rel, "schema_id": 0}
+        summary = dict(commit["summary"])
+        summary["operation"] = "compact"
+        self._commit(new_version, {
+            "snapshot_id": new_version,
+            "parent": cur_version,
+            "schemas": [schema.jsonValue()],
+            "buckets": buckets,
+            "n_buckets": self.n_buckets,
+            "key": self.key,
+            "ord_col": self.ord_col,
+            "summary": summary,
+        })
+        return new_version
+
+    def merge_events(
         self,
-        updates: DataFrame,
+        events: DataFrame,
         batch_id: int,
-        lsn_min: int | None = None,
-        lsn_max: int | None = None,
-        rows_in_batch: int | None = None,
-        op_col: str = "op",
         guard: str = "lsn",
+        op_col: str = "op",
+        transform=None,
+        pre_deduped: bool = False,
     ) -> MergeStats:
-        """Idempotent LWW MERGE of a deduped change batch.
+        """Idempotent LWW MERGE of a change batch — ONE pass over the payload.
 
-        ``updates`` must have ≤1 row per key (run lww_dedup*/ first), carry
-        ``op_col`` ∈ {insert, update, delete} and the ``ord_col``; every
-        other column is payload. Equivalent Iceberg SQL (cluster path):
+        ``events``: raw change events (``op_col`` ∈ {insert,update,delete},
+        the ``ord_col``, the key, payload columns). Equivalent Iceberg SQL
+        (cluster path):
 
-            MERGE INTO target t USING updates s ON t.url = s.url
+            MERGE INTO target t USING (deduped events) s ON t.url = s.url
             WHEN MATCHED AND s.op = 'delete' AND s.lsn > t.lsn THEN UPDATE
                 SET __tombstone = true, lsn = s.lsn   -- tombstone, see below
             WHEN MATCHED AND s.lsn > t.lsn THEN UPDATE SET *
             WHEN NOT MATCHED THEN INSERT *            -- incl. tombstones
 
+        Physical shape (what matters at 100 TB):
+
+        1. **Light meta job** — guard, lineage, and batch composition
+           (raw/dedup/delete counts) from a column-pruned scan of
+           (key, ord, op): parquet reads three small columns, payload
+           untouched. A replayed batch is detected here for the cost of a
+           metadata scan. (An Observation side-output on the heavy job was
+           tried instead and deadlocks inside streaming foreachBatch — the
+           light pre-job is also what makes cheap replay-skip possible.)
+        2. **One heavy job** — LWW dedup (hash-agg, map-side combine = skew
+           handling) → ``transform`` (e.g. vectorized text extraction, runs
+           on the ≤1-row-per-key survivors only) → union with the touched
+           buckets' current rows → LWW resolve → bucket rewrite. The payload
+           is scanned once, shuffled once (≤1 row per key per map task),
+           written once. No persist/cache of the payload.
+
         Replay guard (``guard``):
-        - "lsn":      skip when lsn_max ≤ the committed lsn high-watermark.
-                      For LSN-ordered batch replay, where ranges are monotone.
-        - "batch_id": skip when batch_id ≤ the committed batch id. For
-                      streaming foreachBatch epochs, which are monotone even
-                      when their LSN contents are not (file sources deliver
-                      part files in mtime order, not LSN order). Merge order
+        - "lsn":      skip when lsn_max ≤ the committed lsn high-watermark
+                      (LSN-ordered batch replay, monotone ranges).
+        - "batch_id": skip when batch_id ≤ the committed batch id (streaming
+                      epochs: monotone ids, arbitrary LSN contents — file
+                      sources deliver part files in mtime order). Merge order
                       across epochs doesn't matter: tombstoned LWW is
                       commutative — each batch applied exactly once.
+
+        Deletes persist as tombstones (see module header) which is what makes
+        the out-of-order case safe.
         """
         t0 = time.monotonic()
         cur_version = self.current_version()
@@ -264,11 +360,59 @@ class SnapshotTable:
         committed_lsn = int(commit["summary"].get("lsn_max", -1))
         committed_batch = int(commit["summary"].get("batch_id", -1))
 
+        # ---- 1. light meta: guard + lineage + batch composition from a
+        # column-pruned scan of (key, ord, op) only. Two-level aggregation:
+        # per-key winners first (count + winner op via max_by), then the
+        # per-bucket rollup — payload columns never enter this job.
+        per_key = (
+            events.select(
+                bucket_expr(self.key, self.n_buckets).alias("__bucket"),
+                F.col(self.key),
+                F.col(self.ord_col),
+                F.col(op_col),
+            )
+            .groupBy("__bucket", self.key)
+            .agg(
+                F.count(F.lit(1)).alias("kn"),
+                F.min(self.ord_col).alias("klmin"),
+                F.max(self.ord_col).alias("klmax"),
+                F.max_by(op_col, self.ord_col).alias("kop"),
+            )
+        )
+        meta = (
+            per_key.groupBy("__bucket")
+            .agg(
+                F.sum("kn").alias("n"),
+                F.min("klmin").alias("lmin"),
+                F.max("klmax").alias("lmax"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.count(F.when(F.col("kop") == "delete", 1)).alias("n_del"),
+            )
+            .collect()
+        )
+        touched = [int(r["__bucket"]) for r in meta]
+        bucket_rows = {int(r["__bucket"]): int(r["n"]) for r in meta}
+        rows_in_batch = sum(r["n"] for r in meta)
+        n_dedup = sum(r["n_keys"] for r in meta)
+        n_deleted = sum(r["n_del"] for r in meta)
+        n_upserted = n_dedup - n_deleted
+        lsn_min = int(min((r["lmin"] for r in meta), default=-1))
+        lsn_max = int(max((r["lmax"] for r in meta), default=-1))
+
+        replayed = (
+            lsn_max <= committed_lsn if guard == "lsn"
+            else batch_id <= committed_batch
+        ) or not meta
+        if replayed:
+            return MergeStats(batch_id, cur_version, lsn_min, lsn_max,
+                              rows_in_batch, 0, 0, 0, 0,
+                              int((time.monotonic() - t0) * 1000),
+                              skipped_replay=True)
+
         # ---- schema evolution (transactional: lands in the same commit).
-        # __-prefixed columns are engine metadata (per-key batch stats from
-        # build_merge_source), never part of the table schema.
+        # __-prefixed columns are engine metadata, never table schema.
         incoming_schema = T.StructType(
-            [f for f in updates.schema.fields
+            [f for f in events.schema.fields
              if f.name != op_col and not f.name.startswith("__")]
         )
         diff = diff_schemas(cur_schema, incoming_schema)
@@ -278,101 +422,60 @@ class SnapshotTable:
             schemas.append(new_schema.jsonValue())
         new_schema_id = len(schemas) - 1
 
-        src0 = (
-            updates.withColumn(_TOMBSTONE, F.col(op_col) == "delete")
-            .withColumn("__bucket", bucket_expr(self.key, self.n_buckets))
-            .persist()
+        # ---- 2. the heavy job: dedup → transform → resolve → write ----
+        if pre_deduped:
+            deduped = events
+        else:
+            payload = [c for c in events.columns if c != self.key]
+            ordered_in = [self.ord_col] + [c for c in payload if c != self.ord_col]
+            deduped = (
+                events.groupBy(self.key)
+                .agg(F.max(F.struct(*[F.col(c) for c in ordered_in])).alias("__b"))
+                .select(self.key,
+                        *[F.col(f"__b.{c}").alias(c) for c in ordered_in])
+            )
+
+        src = align_to_schema(
+            deduped.withColumn(_TOMBSTONE, F.col(op_col) == "delete"),
+            T.StructType(new_schema.fields
+                         + [T.StructField(_TOMBSTONE, T.BooleanType())]),
+        ).withColumn("__bucket", bucket_expr(self.key, self.n_buckets))
+        if transform is not None:
+            src = transform(src)
+
+        current = self._read_buckets(commit, touched, new_schema)
+        current = current.withColumn(
+            "__bucket", bucket_expr(self.key, self.n_buckets)
         )
-        has_stats = "__lsn_max" in updates.columns
-        try:
-            # ONE job computes the whole merge source (dedup + extraction),
-            # persists it, and returns metadata-sized per-bucket stats:
-            # touched buckets, batch composition, and the raw lsn range.
-            stat_aggs = [
-                F.count(F.lit(1)).alias("n"),
-                F.count(F.when(F.col(_TOMBSTONE), 1)).alias("n_del"),
-            ]
-            if has_stats:
-                stat_aggs += [
-                    F.sum("__n_events").alias("raw_n"),
-                    F.min("__lsn_min").alias("lmin"),
-                    F.max("__lsn_max").alias("lmax"),
-                ]
-            else:
-                stat_aggs += [
-                    F.count(F.lit(1)).alias("raw_n"),
-                    F.min(self.ord_col).alias("lmin"),
-                    F.max(self.ord_col).alias("lmax"),
-                ]
-            meta = src0.groupBy("__bucket").agg(*stat_aggs).collect()
-            touched = [int(r["__bucket"]) for r in meta]
-            bucket_rows = {int(r["__bucket"]): int(r["n"]) for r in meta}
-            n_dedup = sum(r["n"] for r in meta)
-            n_deleted = sum(r["n_del"] for r in meta)
-            n_upserted = n_dedup - n_deleted
-            if lsn_min is None:
-                lsn_min = min((r["lmin"] for r in meta), default=-1)
-            if lsn_max is None:
-                lsn_max = max((r["lmax"] for r in meta), default=-1)
-            if rows_in_batch is None:
-                rows_in_batch = sum(
-                    (r["raw_n"] if r["raw_n"] is not None else r["n"]) for r in meta
-                )
-            lsn_min, lsn_max = int(lsn_min), int(lsn_max)
 
-            # ---- replay guard (after the source build: wasted compute on a
-            # replayed batch is acceptable; an incorrect commit is not) ----
-            replayed = (
-                lsn_max <= committed_lsn if guard == "lsn"
-                else batch_id <= committed_batch
-            ) or not meta
-            if replayed:
-                return MergeStats(batch_id, cur_version, lsn_min, lsn_max,
-                                  int(rows_in_batch), 0, 0, 0, 0,
-                                  int((time.monotonic() - t0) * 1000),
-                                  skipped_replay=True)
-
-            src = align_to_schema(
-                src0,
-                T.StructType(new_schema.fields
-                             + [T.StructField(_TOMBSTONE, T.BooleanType())]),
-            ).withColumn("__bucket", bucket_expr(self.key, self.n_buckets))
-
-            current = self._read_buckets(commit, touched, new_schema)
-            current = current.withColumn(
-                "__bucket", bucket_expr(self.key, self.n_buckets)
+        # LWW resolve: union current+updates, keep max-lsn row per key.
+        # Tombstone winners persist (null payload, flag set) so merges
+        # commute across batches. Hash-agg (map-side combinable), one
+        # shuffle on key — and only over touched buckets' data.
+        cols = [f.name for f in new_schema.fields]
+        ordered = [self.ord_col] + [
+            c for c in cols if c != self.ord_col and c != self.key
+        ] + [_TOMBSTONE]
+        unioned = current.unionByName(src)
+        survivors = (
+            unioned.groupBy(self.key, "__bucket")
+            .agg(F.max(F.struct(*[F.col(c) for c in ordered])).alias("b"))
+            .select(
+                self.key, "__bucket",
+                *[F.col(f"b.{c}").alias(c) for c in ordered],
             )
+        )
 
-            # LWW resolve: union current+updates, keep max-lsn row per key.
-            # Tombstone winners persist (null payload, flag set) so merges
-            # commute across batches. Hash-agg (map-side combinable), one
-            # shuffle on key — and only over touched buckets' data.
-            cols = [f.name for f in new_schema.fields]
-            ordered = [self.ord_col] + [
-                c for c in cols if c != self.ord_col and c != self.key
-            ] + [_TOMBSTONE]
-            unioned = current.unionByName(src)
-            survivors = (
-                unioned.groupBy(self.key, "__bucket")
-                .agg(F.max(F.struct(*[F.col(c) for c in ordered])).alias("b"))
-                .select(
-                    self.key, "__bucket",
-                    *[F.col(f"b.{c}").alias(c) for c in ordered],
-                )
-            )
-
-            # ---- rewrite touched buckets under the new snapshot ----
-            new_version = cur_version + 1
-            rel = os.path.join(_DATA_DIR, f"snap{new_version:010d}")
-            out_dir = os.path.join(self.path, rel)
-            (
-                survivors.repartition(max(len(touched), 1), F.col("__bucket"))
-                .write.mode("overwrite")
-                .partitionBy("__bucket")
-                .parquet(out_dir)
-            )
-        finally:
-            src0.unpersist()
+        # ---- rewrite touched buckets under the new snapshot ----
+        new_version = cur_version + 1
+        rel = os.path.join(_DATA_DIR, f"snap{new_version:010d}")
+        out_dir = os.path.join(self.path, rel)
+        (
+            survivors.repartition(max(len(touched), 1), F.col("__bucket"))
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(out_dir)
+        )
 
         # ---- manifest: new paths for touched, carry-forward for the rest.
         # A touched bucket with zero survivors (everything deleted) produces
@@ -412,3 +515,22 @@ class SnapshotTable:
                           int(rows_in_batch), int(n_dedup), int(n_upserted),
                           int(n_deleted), len(touched), latency_ms,
                           bucket_rows=bucket_rows)
+
+    def merge_batch(
+        self,
+        updates: DataFrame,
+        batch_id: int,
+        lsn_min: int | None = None,
+        lsn_max: int | None = None,
+        rows_in_batch: int | None = None,
+        op_col: str = "op",
+        guard: str = "lsn",
+    ) -> MergeStats:
+        """Pre-deduped variant of merge_events (≤1 row per key, e.g. a
+        build_merge_source output). Lineage lsn_min/rows_in_batch reflect
+        the deduped rows (raw pre-dedup values aren't recoverable here —
+        use merge_events with raw events for exact offset-range lineage;
+        the guard only needs lsn_max, which dedup preserves)."""
+        return self.merge_events(
+            updates, batch_id, guard=guard, op_col=op_col, pre_deduped=True
+        )

@@ -60,6 +60,23 @@ def lww_dedup_agg(df: DataFrame, key: str = "url", ord_col: str = "lsn") -> Data
     return packed.select(key, *[F.col(f"__best.{c}").alias(c) for c in ordered])
 
 
+def lww_dedup_maxjoin(df: DataFrame, key: str = "url", ord_col: str = "lsn") -> DataFrame:
+    """LWW dedup as argmax-via-join: light ``max(ord)`` hash aggregation
+    (fixed-size buffer → codegen'd HashAggregate with true map-side combine)
+    + equi-join back on (key, ord) to fetch the winner's payload.
+
+    Why: ``max(struct(ord, payload))`` with variable-length payload fields
+    (html binary) can't use the fixed-size hash-agg buffer — Spark falls
+    back to an object/sort aggregate that moves the payload through the
+    aggregation. Here the aggregation touches only (key, ord) — parquet
+    column pruning keeps the payload out of it entirely — and the payload
+    moves exactly once, through the join shuffle. Requires ord unique per
+    (key, ord) pair (an LSN total order guarantees it globally).
+    """
+    winners = df.groupBy(key).agg(F.max(ord_col).alias(ord_col))
+    return df.join(winners, [key, ord_col], "left_semi")
+
+
 def lww_dedup_salted(
     df: DataFrame,
     key: str = "url",

@@ -61,8 +61,7 @@ def target_schema(with_fetch_status: bool = False) -> T.StructType:
 
 def build_merge_source(events: DataFrame, n_salt: int = 16,
                        strategy: str = "agg") -> DataFrame:
-    """Change events → merge-ready source: LWW dedup + per-key batch stats +
-    vectorized text extraction.
+    """Change events → merge-ready source: LWW dedup + vectorized extraction.
 
     Physical strategy (measured at sf0.1, 32 cores, 20k-event batches):
 
@@ -71,35 +70,22 @@ def build_merge_source(events: DataFrame, n_salt: int = 16,
       url with millions of events emits ≤1 row per map task, so no reducer
       ever receives the hot key's raw rows. 2.0s vs 11.3s for the explicit
       two-phase salted variant (kept as "salted" for payloads too wide for
-      an aggregation buffer) and 1.5s for the window form ("window", which
-      sorts ALL rows per key — skew-prone, only for reference comparison).
-    - Batch lineage stats (__n_events, __lsn_min, __lsn_max per key) ride
-      the same aggregation, so the engine needs NO separate scan of the raw
-      batch to learn its offset range.
+      an aggregation buffer) and 1.5s for the window form (which sorts ALL
+      rows per key — skew-prone).
     - ``text`` is extracted AFTER dedup: the Arrow UDF runs on ≤1 row per
       url, cutting UDF work by the batch's duplication factor.
+
+    Note: ``ReplayEngine.apply_batch`` no longer routes through this — the
+    dedup+transform live inside ``SnapshotTable.merge_events`` so the whole
+    merge is one payload pass. This remains the standalone composition for
+    pipelines that want the merge-ready frame itself.
     """
     if strategy == "salted":
         deduped = lww_dedup_salted(events, key="url", ord_col="lsn", n_salt=n_salt)
-        deduped = (
-            deduped.withColumn("__n_events", F.lit(None).cast("long"))
-            .withColumn("__lsn_min", F.col("lsn"))
-            .withColumn("__lsn_max", F.col("lsn"))
-        )
     else:
-        payload = [c for c in events.columns if c != "url"]
-        ordered = ["lsn"] + [c for c in payload if c != "lsn"]
-        agg = events.groupBy("url").agg(
-            F.max(F.struct(*[F.col(c) for c in ordered])).alias("__best"),
-            F.count(F.lit(1)).alias("__n_events"),
-            F.min("lsn").alias("__lsn_min"),
-            F.max("lsn").alias("__lsn_max"),
-        )
-        deduped = agg.select(
-            "url",
-            *[F.col(f"__best.{c}").alias(c) for c in ordered],
-            "__n_events", "__lsn_min", "__lsn_max",
-        )
+        from hyped_spark.operators.lww import lww_dedup_agg
+
+        deduped = lww_dedup_agg(events, key="url", ord_col="lsn")
     return deduped.withColumn("text", extract_text(F.col("html")))
 
 
@@ -125,30 +111,59 @@ class ReplayEngine:
     # -- metrics ------------------------------------------------------------
 
     def _append_metrics(self, stats: MergeStats) -> None:
+        """Append lineage rows driver-side with pyarrow.
+
+        The rows are metadata-sized (one per touched bucket); routing them
+        through spark.createDataFrame + a write job measured ~5s per batch —
+        pure fixed overhead. A direct pyarrow file write is <10ms and the
+        result is still a plain parquet directory Spark reads back."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         rows = [
             (stats.batch_id, b, stats.lsn_min, stats.lsn_max, n,
              stats.merge_latency_ms, stats.snapshot_id)
             for b, n in sorted((stats.bucket_rows or {}).items())
         ] or [(stats.batch_id, -1, stats.lsn_min, stats.lsn_max, 0,
                stats.merge_latency_ms, stats.snapshot_id)]
-        df = self.spark.createDataFrame(rows, METRICS_SCHEMA)
-        df.coalesce(1).write.mode("append").parquet(self.cfg.metrics_path)
+        cols = list(zip(*rows))
+        table = pa.table({
+            "batch_id": pa.array(cols[0], pa.int64()),
+            "partition_id": pa.array(cols[1], pa.int32()),
+            "lsn_min": pa.array(cols[2], pa.int64()),
+            "lsn_max": pa.array(cols[3], pa.int64()),
+            "rows_applied": pa.array(cols[4], pa.int64()),
+            "merge_latency_ms": pa.array(cols[5], pa.int64()),
+            "snapshot_id": pa.array(cols[6], pa.int64()),
+        })
+        os.makedirs(self.cfg.metrics_path, exist_ok=True)
+        pq.write_table(
+            table,
+            os.path.join(self.cfg.metrics_path,
+                         f"batch-{stats.batch_id:010d}-{stats.snapshot_id:010d}.parquet"),
+        )
 
     def metrics(self) -> DataFrame:
         return self.spark.read.schema(METRICS_SCHEMA).parquet(self.cfg.metrics_path)
 
     # -- the loop -----------------------------------------------------------
 
+    @staticmethod
+    def _extract_transform(df: DataFrame) -> DataFrame:
+        """Post-dedup vectorized transform slot: HTML→text extraction on the
+        ≤1-row-per-url survivors (the reference's heavy batch-processor
+        position, tokenizers/hf.py:404-441)."""
+        return df.withColumn("text", extract_text(F.col("html")))
+
     def apply_batch(self, events: DataFrame, batch_id: int,
                     guard: str = "lsn") -> MergeStats:
-        """Transform + dedup + merge + record lineage for one microbatch.
-
-        Lineage lsn range / raw row count ride the dedup aggregation as
-        per-key stats (build_merge_source), so the batch is scanned exactly
-        once — no separate metadata job.
-        """
-        source = build_merge_source(events, n_salt=self.cfg.n_salt)
-        stats = self.table.merge_batch(source, batch_id=batch_id, guard=guard)
+        """Dedup + transform + merge + lineage for one microbatch of RAW
+        change events. merge_events makes it one payload pass: a pruned
+        (key, lsn) scan for guard/lineage, then a single heavy job."""
+        stats = self.table.merge_events(
+            events, batch_id=batch_id, guard=guard, op_col="op",
+            transform=self._extract_transform,
+        )
         if not stats.skipped_replay:
             self._append_metrics(stats)
         return stats

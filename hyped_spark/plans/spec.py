@@ -1,0 +1,267 @@
+"""Declarative pipeline spec — the reimagined customization surface (F8).
+
+The reference's extension point is a registry of pydantic-configured
+processors serialized to/from JSON (/root/reference/src/hyped/base/
+registry.py:45-269, config.py:22-145; pipelines round-trip via
+``to_json``/``AutoConfig.from_json``). The Spark-native reimagining: a JSON
+document describing  source → stages → (optional) CDC sink  that COMPILES to
+a DataFrame program. Stages are looked up in an operator registry; each
+registered operator is a ``params -> (DataFrame -> DataFrame)`` builder.
+
+Prepare-time schema validation (the reference's ``prepare``/``map_features``
+discipline, pipe.py:77-117) is ``probe_schema``: compile the stage chain
+against an EMPTY DataFrame with the source schema — Catalyst analyzes the
+whole plan without reading data, so schema errors surface before execution,
+exactly like hyped's prepare step. Pure metadata: no IO, no jobs.
+
+Example::
+
+    spec = PipelineSpec.from_json(json_str)
+    out_schema = spec.probe_schema(spark, in_schema)   # prepare-time check
+    df = spec.compile(spark)                           # build the plan
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+Stage = Callable[[DataFrame], DataFrame]
+Builder = Callable[[dict], Stage]
+
+_REGISTRY: dict[str, Builder] = {}
+
+
+def register(name: str) -> Callable[[Builder], Builder]:
+    def deco(fn: Builder) -> Builder:
+        _REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def registered_ops() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# built-in operator registry (each ≙ a SURVEY §2 operator)
+# ---------------------------------------------------------------------------
+
+
+@register("select")
+def _select(p: dict) -> Stage:
+    return lambda df: df.select(*p["columns"])
+
+
+@register("drop")
+def _drop(p: dict) -> Stage:
+    from hyped_spark.operators.restructure import filter_features
+    return lambda df: filter_features(df, remove=p["columns"])
+
+
+@register("filter")
+def _filter(p: dict) -> Stage:
+    return lambda df: df.filter(p["condition"])
+
+
+@register("with_column")
+def _with_column(p: dict) -> Stage:
+    return lambda df: df.withColumn(p["name"], F.expr(p["expr"]))
+
+
+@register("format")
+def _format(p: dict) -> Stage:
+    from hyped_spark.operators.restructure import format_features
+    return lambda df: format_features(
+        df, {k: v for k, v in p["mapping"].items()},
+        keep_input=p.get("keep_input", False),
+    )
+
+
+@register("flatten")
+def _flatten(p: dict) -> Stage:
+    from hyped_spark.operators.restructure import flatten_features
+    return lambda df: flatten_features(df, delimiter=p.get("delimiter", ":"))
+
+
+@register("sql")
+def _sql(p: dict) -> Stage:
+    def run(df: DataFrame) -> DataFrame:
+        df.createOrReplaceTempView(p.get("view", "__pipe"))
+        return df.sparkSession.sql(p["query"])
+    return run
+
+
+@register("lww_dedup")
+def _lww(p: dict) -> Stage:
+    from hyped_spark.operators.lww import lww_dedup_agg
+    return lambda df: lww_dedup_agg(df, key=p["key"], ord_col=p["ord"])
+
+
+@register("exact_dedup")
+def _exact_dedup(p: dict) -> Stage:
+    from hyped_spark.operators.dedup import exact_dedup
+    return lambda df: exact_dedup(df, p.get("text_col", "text"), p.get("id_col", "doc_id"))
+
+
+@register("minhash_dedup")
+def _minhash_dedup(p: dict) -> Stage:
+    from hyped_spark.operators.dedup import minhash_dedup
+    return lambda df: minhash_dedup(
+        df, p.get("text_col", "text"), p.get("id_col", "doc_id"),
+        min_jaccard=p.get("min_jaccard", 0.8),
+    )
+
+
+@register("extract_text")
+def _extract_text(p: dict) -> Stage:
+    from hyped_spark.functions.text import extract_text
+    src, out = p.get("html_col", "html"), p.get("out", "text")
+    return lambda df: df.withColumn(out, extract_text(F.col(src)))
+
+
+@register("lang_id")
+def _lang_id(p: dict) -> Stage:
+    from hyped_spark.functions.text import lang_id_col
+    return lambda df: df.withColumn(p.get("out", "lang_guess"),
+                                    lang_id_col(F.col(p.get("text_col", "text"))))
+
+
+@register("quality_score")
+def _quality(p: dict) -> Stage:
+    from hyped_spark.functions.text import quality_score_col
+    return lambda df: df.withColumn(p.get("out", "quality"),
+                                    quality_score_col(F.col(p.get("text_col", "text"))))
+
+
+@register("token_count")
+def _token_count(p: dict) -> Stage:
+    from hyped_spark.functions.text import token_count_col
+    return lambda df: df.withColumn(p.get("out", "n_tokens"),
+                                    token_count_col(F.col(p.get("text_col", "text"))))
+
+
+@register("fingerprint")
+def _fingerprint(p: dict) -> Stage:
+    from hyped_spark.functions.text import fingerprint_col
+    return lambda df: df.withColumn(p.get("out", "fingerprint"),
+                                    fingerprint_col(F.col(p.get("text_col", "text"))))
+
+
+@register("chunk")
+def _chunk(p: dict) -> Stage:
+    from hyped_spark.operators.sequence import chunk_seq
+    return lambda df: chunk_seq(
+        df, p["col"], p.get("out", "chunk"), p["size"],
+        p.get("stride"), p.get("drop_last", False),
+    )
+
+
+@register("repartition")
+def _repartition(p: dict) -> Stage:
+    cols = [F.col(c) for c in p.get("columns", [])]
+    n = p.get("n")
+    if cols and n:
+        return lambda df: df.repartition(n, *cols)
+    if cols:
+        return lambda df: df.repartition(*cols)
+    return lambda df: df.repartition(n)
+
+
+# ---------------------------------------------------------------------------
+# spec dataclasses
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SourceSpec:
+    format: str                      # parquet | json | csv
+    path: str
+    schema: dict | None = None       # StructType.jsonValue() form
+    options: dict = field(default_factory=dict)
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        reader = spark.read
+        if self.schema is not None:
+            reader = reader.schema(T.StructType.fromJson(self.schema))
+        for k, v in self.options.items():
+            reader = reader.option(k, v)
+        return getattr(reader, self.format)(self.path)
+
+    def spark_schema(self, spark: SparkSession) -> T.StructType:
+        if self.schema is not None:
+            return T.StructType.fromJson(self.schema)
+        return self.load(spark).schema
+
+
+@dataclass
+class PipelineSpec:
+    """source → ordered stages; JSON-round-trippable; nestable (a stage may
+    be another pipeline, ≙ DataPipe-in-DataPipe, reference pipe.py:39-61)."""
+
+    source: SourceSpec | None
+    stages: list[dict]               # [{"op": name, **params} | {"pipeline": [...]}]
+    name: str = "pipeline"
+
+    # -- (de)serialization ---------------------------------------------------
+
+    def to_json(self) -> str:
+        src = None if self.source is None else {
+            "format": self.source.format, "path": self.source.path,
+            "schema": self.source.schema, "options": self.source.options,
+        }
+        return json.dumps({"name": self.name, "source": src, "stages": self.stages})
+
+    @classmethod
+    def from_json(cls, s: str) -> "PipelineSpec":
+        d = json.loads(s)
+        src = d.get("source")
+        return cls(
+            source=None if src is None else SourceSpec(
+                format=src["format"], path=src["path"],
+                schema=src.get("schema"), options=src.get("options") or {},
+            ),
+            stages=d["stages"],
+            name=d.get("name", "pipeline"),
+        )
+
+    # -- compile / prepare ----------------------------------------------------
+
+    def _build_stage(self, stage: dict) -> Stage:
+        if "pipeline" in stage:  # nested pipe
+            inner = PipelineSpec(source=None, stages=stage["pipeline"])
+            return inner.transform
+        op = stage["op"]
+        if op not in _REGISTRY:
+            raise ValueError(
+                f"unknown operator {op!r}; registered: {registered_ops()}"
+            )
+        params = {k: v for k, v in stage.items() if k != "op"}
+        return _REGISTRY[op](params)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        for stage in self.stages:
+            df = self._build_stage(stage)(df)
+        return df
+
+    def compile(self, spark: SparkSession) -> DataFrame:
+        if self.source is None:
+            raise ValueError("pipeline has no source; use transform(df)")
+        return self.transform(self.source.load(spark))
+
+    def probe_schema(self, spark: SparkSession,
+                     in_schema: T.StructType | None = None) -> T.StructType:
+        """Prepare-time schema propagation: run the stage chain over an empty
+        DataFrame — Catalyst analyzes without executing (no IO, no jobs).
+        Schema errors raise HERE, mirroring hyped's prepare()."""
+        if in_schema is None:
+            if self.source is None:
+                raise ValueError("need in_schema when pipeline has no source")
+            in_schema = self.source.spark_schema(spark)
+        empty = spark.createDataFrame([], in_schema)
+        return self.transform(empty).schema

@@ -30,15 +30,20 @@ from hyped_spark.session import get_spark
 from hyped_spark.plans.replay import ReplayConfig, ReplayEngine
 
 cores = int(sys.argv[1]); log_path = sys.argv[2]; reps = int(sys.argv[3])
-batch_lsns = int(sys.argv[4])
-spark = get_spark("scaling_bench", cores=cores, shuffle_partitions=cores)
+batch_lsns = int(sys.argv[4]); n_buckets = int(sys.argv[5])
+spark = get_spark("scaling_bench", cores=cores, shuffle_partitions=2 * cores,
+                  extra_conf={{"spark.local.dir": f"/dev/shm/spark_local_{{cores}}"}})
 log = spark.read.parquet(log_path)
 results = []
 for rep in range(reps + 1):  # first is warmup
-    work = tempfile.mkdtemp(prefix=f"scale_{{cores}}_")
+    # tmpfs: the sandbox's single throttled virtual disk does not scale with
+    # cores (a real cluster's aggregate disk bandwidth scales with
+    # executors); RAM-backed IO isolates the compute/shuffle scaling the
+    # criterion is about. Documented in BENCH/BASELINE.md.
+    work = tempfile.mkdtemp(prefix=f"scale_{{cores}}_", dir="/dev/shm")
     engine = ReplayEngine(spark, ReplayConfig(
         table_path=os.path.join(work, "t"), metrics_path=os.path.join(work, "m"),
-        batch_lsns=batch_lsns, n_buckets=cores, n_salt=8))
+        batch_lsns=batch_lsns, n_buckets=n_buckets, n_salt=8))
     t0 = time.monotonic()
     stats = engine.replay(log)
     dt = time.monotonic() - t0
@@ -50,10 +55,12 @@ print("RESULT " + json.dumps(results))
 """
 
 
-def run_level(cores: int, log_path: str, reps: int, batch_lsns: int) -> list[dict]:
+def run_level(cores: int, log_path: str, reps: int, batch_lsns: int,
+              n_buckets: int) -> list[dict]:
     script = WORKER.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cores), log_path, str(reps), str(batch_lsns)],
+        [sys.executable, "-c", script, str(cores), log_path, str(reps),
+         str(batch_lsns), str(n_buckets)],
         capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
@@ -69,10 +76,13 @@ def main() -> None:
     ap.add_argument("--urls", type=int, default=10_000)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--batch-lsns", type=int, default=40_000)
+    ap.add_argument("--buckets", type=int, default=16,
+                    help="table buckets — FIXED across levels so both run "
+                         "the identical table layout")
     args = ap.parse_args()
 
-    # materialize one fixed input log (identical for both levels)
-    gen = tempfile.mkdtemp(prefix="scaling_log_")
+    # materialize one fixed input log (identical for both levels), tmpfs
+    gen = tempfile.mkdtemp(prefix="scaling_log_", dir="/dev/shm")
     log_path = os.path.join(gen, "log")
     gen_script = (
         f"import sys; sys.path.insert(0, {REPO!r})\n"
@@ -85,8 +95,14 @@ def main() -> None:
     subprocess.run([sys.executable, "-c", gen_script], check=True, timeout=1800,
                    capture_output=True, text=True)
 
-    lo = run_level(args.n, log_path, args.reps, args.batch_lsns)
-    hi = run_level(args.n * 4, log_path, args.reps, args.batch_lsns)
+    try:
+        lo = run_level(args.n, log_path, args.reps, args.batch_lsns, args.buckets)
+        hi = run_level(args.n * 4, log_path, args.reps, args.batch_lsns, args.buckets)
+    finally:
+        import shutil
+        shutil.rmtree(gen, ignore_errors=True)
+        for c in (args.n, args.n * 4):
+            shutil.rmtree(f"/dev/shm/spark_local_{c}", ignore_errors=True)
 
     eps_lo = statistics.median(r["eps"] for r in lo)
     eps_hi = statistics.median(r["eps"] for r in hi)

@@ -1,0 +1,59 @@
+"""Snapshot-log commit protocol: atomicity, single-winner, guard math."""
+
+from __future__ import annotations
+
+import pytest
+
+from hyped_spark.lake.table import SnapshotTable
+from hyped_spark.plans.replay import target_schema
+
+
+def test_concurrent_commit_single_winner(spark, tmp_path):
+    """Two writers racing to the same version: exactly one commit survives
+    (os.link 'x'-semantics publish)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.init_empty(target_schema())
+    payload = t.current_commit()
+    payload = dict(payload, snapshot_id=1, parent=0)
+    t._commit(1, payload)
+    with pytest.raises(FileExistsError):
+        t._commit(1, payload)  # the losing writer fails loudly, log intact
+    assert t.current_version() == 1
+
+
+def test_guard_watermarks_monotone(spark, tmp_path):
+    """Summary lsn_max / batch_id are high-watermarks: they never move
+    backwards even when epochs commit out of LSN order."""
+    from hyped_spark.sources.synthetic import binlog
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4)
+    t.init_empty(target_schema())
+    log = binlog(spark, 300, 30)
+    from hyped_spark.plans.replay import build_merge_source
+
+    # later LSN range first (out-of-order delivery), batch-id guard
+    hi = build_merge_source(log.filter("lsn >= 200"))
+    lo = build_merge_source(log.filter("lsn < 100"))
+    s1 = t.merge_batch(hi, batch_id=0, guard="batch_id")
+    assert not s1.skipped_replay
+    s2 = t.merge_batch(lo, batch_id=1, guard="batch_id")
+    assert not s2.skipped_replay, "earlier-LSN epoch must still apply"
+    c = t.current_commit()
+    assert int(c["summary"]["lsn_max"]) == 299  # watermark didn't regress
+    assert int(c["summary"]["batch_id"]) == 1
+
+    # replayed epoch (same batch id) is a no-op
+    s3 = t.merge_batch(lo, batch_id=1, guard="batch_id")
+    assert s3.skipped_replay
+
+    # delete-then-stale-update commutativity via tombstones:
+    # a delete applied in one epoch beats a lower-LSN update arriving later
+    mid_del = build_merge_source(
+        log.filter("lsn >= 100 and lsn < 200 and op = 'delete'"))
+    t.merge_batch(mid_del, batch_id=2, guard="batch_id")
+    visible = {r.url: r.lsn for r in t.read().collect()}
+    deleted_urls = [r.url for r in mid_del.select("url").collect()]
+    for u in deleted_urls:
+        if u in visible:
+            # only visible if a HIGHER-lsn upsert won — never a lower one
+            assert visible[u] >= 100

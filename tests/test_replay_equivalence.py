@@ -80,9 +80,10 @@ def test_replay_matches_reference(spark, tmp_path, log_pdf):
     for _, row in per_batch.iterrows():
         assert row.lsn_min > prev_max
         prev_max = row.lsn_max
-    # per-partition rows_applied sums to total deduped rows
+    # per-partition rows_applied sums to total ingested change events
     total_applied = int(m[m.partition_id >= 0]["rows_applied"].sum())
-    assert total_applied == sum(s.rows_after_dedup for s in stats if not s.skipped_replay)
+    assert total_applied == sum(s.rows_in_batch for s in stats if not s.skipped_replay)
+    assert total_applied == N_EVENTS
 
 
 def test_batch_size_invariance(spark, tmp_path, log_pdf):

@@ -1,0 +1,193 @@
+"""Pipeline spec (F8), typed IO (S2/S4/S5), templates (R7), JSON repair (R2),
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tests.conftest import SF_DIR
+
+
+# ---------------- pipeline spec ----------------
+
+
+def test_pipeline_spec_roundtrip_and_compile(spark):
+    from hyped_spark.plans.spec import PipelineSpec, SourceSpec
+
+    spec = PipelineSpec(
+        source=SourceSpec(format="parquet", path=f"{SF_DIR}/documents.parquet"),
+        stages=[
+            {"op": "filter", "condition": "n_chars > 100"},
+            {"op": "token_count", "text_col": "text", "out": "n_tokens"},
+            {"op": "quality_score", "text_col": "text", "out": "quality"},
+            {"pipeline": [
+                {"op": "with_column", "name": "long_doc", "expr": "n_tokens > 50"},
+                {"op": "drop", "columns": ["source"]},
+            ]},
+            {"op": "select", "columns": ["doc_id", "n_tokens", "quality", "long_doc"]},
+        ],
+        name="doc_quality",
+    )
+    spec2 = PipelineSpec.from_json(spec.to_json())
+    assert spec2.to_json() == spec.to_json()
+
+    # prepare-time schema check: no jobs run, schema propagated
+    out_schema = spec2.probe_schema(spark)
+    assert [f.name for f in out_schema.fields] == ["doc_id", "n_tokens", "quality", "long_doc"]
+
+    df = spec2.compile(spark)
+    rows = df.collect()
+    assert rows and all(r.n_tokens > 0 for r in rows)
+
+
+def test_pipeline_spec_prepare_time_errors(spark):
+    from hyped_spark.plans.spec import PipelineSpec, SourceSpec
+
+    bad_op = PipelineSpec(source=None, stages=[{"op": "nope"}])
+    with pytest.raises(ValueError, match="unknown operator"):
+        bad_op.transform(spark.range(1))
+
+    bad_col = PipelineSpec(
+        source=SourceSpec(format="parquet", path=f"{SF_DIR}/documents.parquet"),
+        stages=[{"op": "select", "columns": ["missing_col"]}],
+    )
+    with pytest.raises(Exception):  # Catalyst AnalysisException at probe time
+        bad_col.probe_schema(spark)
+
+
+def test_pipeline_spec_cdc_stages(spark):
+    """The CDC kernel expressed as a declarative pipeline."""
+    from hyped_spark.plans.spec import PipelineSpec
+    from hyped_spark.sources.synthetic import binlog
+
+    log = binlog(spark, 500, 50)
+    spec = PipelineSpec(source=None, stages=[
+        {"op": "lww_dedup", "key": "url", "ord": "lsn"},
+        {"op": "extract_text", "html_col": "html", "out": "text"},
+        {"op": "lang_id", "text_col": "text", "out": "lang_guess"},
+    ])
+    out = spec.transform(log)
+    assert out.groupBy("url").count().agg(F.max("count")).collect()[0][0] == 1
+
+
+# ---------------- typed IO ----------------
+
+
+def test_typed_json_reader(spark, tmp_path):
+    from hyped_spark.sources.readers import typed_json
+
+    p = str(tmp_path / "in.jsonl")
+    with open(p, "w") as f:
+        f.write('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    schema = T.StructType([
+        T.StructField("a", T.LongType()), T.StructField("b", T.StringType())
+    ])
+    rows = typed_json(spark, p, schema).orderBy("a").collect()
+    assert [(r.a, r.b) for r in rows] == [(1, "x"), (2, "y")]
+
+    with open(p, "a") as f:
+        f.write('{"a": "not_a_number", "b": "z"}\n')
+    with pytest.raises(Exception):
+        typed_json(spark, p, schema, strict=True).collect()
+    lenient = typed_json(spark, p, schema, strict=False)
+    good = lenient.filter(F.col("_corrupt_record").isNull()).count()
+    assert good == 2
+
+
+def test_writers_roundtrip(spark, tmp_path):
+    from hyped_spark.sources.readers import typed_json
+    from hyped_spark.sources.writers import write_csv, write_jsonl
+
+    df = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    jdir = str(tmp_path / "j")
+    write_jsonl(df, jdir, num_shards=2)
+    assert os.path.exists(os.path.join(jdir, "_schema.json"))
+    with open(os.path.join(jdir, "_schema.json")) as f:
+        schema = T.StructType.fromJson(json.load(f))
+    back = typed_json(spark, jdir, schema)
+    assert back.count() == df.count()
+
+    cdir = str(tmp_path / "c")
+    write_csv(df, cdir, num_shards=1)
+    back_csv = spark.read.option("header", "true").csv(cdir)
+    assert back_csv.count() == df.count()
+
+    nested = df.select(F.struct("n_name").alias("s"))
+    with pytest.raises(ValueError, match="non-primitive"):
+        write_csv(nested, str(tmp_path / "bad"))
+
+
+# ---------------- templates ----------------
+
+
+def test_template_required_fields_and_render(spark):
+    from hyped_spark.functions.templates import render_template_col, required_fields
+
+    assert required_fields("doc {doc_id} in {lang}: {text}") == ["doc_id", "lang", "text"]
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(5)
+    out = render_template_col(d, "[{lang}] doc {doc_id}", "rendered")
+    for r in out.collect():
+        assert r.rendered == f"[{r.lang}] doc {r.doc_id}"
+
+    # format-spec path goes through the pandas UDF
+    out2 = render_template_col(d, "{n_chars:05d}", "padded")
+    for r in out2.collect():
+        assert r.padded == f"{r.n_chars:05d}"
+
+    with pytest.raises(ValueError, match="missing columns"):
+        render_template_col(d, "{nope}", "x")
+
+
+# ---------------- JSON repair ----------------
+
+
+def test_repair_json(spark):
+    from hyped_spark.functions.json_tools import repair_json_col, repair_json_string
+
+    assert repair_json_string("{'a': 1,}") == '{"a": 1}'
+    assert repair_json_string('{"a": [1, 2') == '{"a": [1, 2]}'
+    assert repair_json_string("total garbage {{{") is None
+
+    df = spark.createDataFrame(
+        [('{"k": 1}',), ("{'k': 2,}",), ("junk",)], "props string"
+    )
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    out = df.withColumn("p", repair_json_col(F.col("props"), schema))
+    vals = [r.p.k if r.p else None for r in out.collect()]
+    assert vals == [1, 2, None]
+
+
+# ---------------- multimodal plumbing ----------------
+
+
+def test_multimodal_plumbing(spark):
+    from hyped_spark.functions.multimodal import (
+        decode_image_features,
+        resize_images,
+        sample_video_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"imagebytes-1"), (2, b"imagebytes-2"), (3, None)],
+        "id long, image binary",
+    )
+    feats = decode_image_features(df, "image", "img").collect()
+    by_id = {r.id: r.img for r in feats}
+    assert by_id[3] is None
+    assert 64 <= by_id[1].width < 256 and isinstance(by_id[1].phash, int)
+    # determinism: same bytes -> same features
+    again = {r.id: r.img for r in decode_image_features(df, "image", "img").collect()}
+    assert again == by_id
+
+    resized = resize_images(df, "image").collect()
+    assert {len(r.resized) for r in resized if r.resized} == {128}
+
+    vid = spark.createDataFrame([(1, b"videobytes")], "id long, video binary")
+    frames = sample_video_frames(vid, "video", n_frames=3).collect()[0].frames
+    assert len(frames) == 3 and len(set(bytes(f) for f in frames)) == 3
