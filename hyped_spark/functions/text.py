@@ -72,6 +72,17 @@ def extract_text(html: pd.Series) -> pd.Series:  # pragma: no cover (runs on exe
     return extract_text_series(html)
 
 
+@F.pandas_udf(T.StringType())
+def extract_text_if_missing(html: pd.Series, text: pd.Series) -> pd.Series:  # pragma: no cover
+    """Fill ``text`` from ``html`` only where missing — lets the merge apply
+    extraction to a mixed frame (fresh change rows need it, carried-forward
+    current rows already have it) in one Arrow pass with no wasted compute."""
+    mask = text.isna() & html.notna()
+    out = text.copy()
+    out[mask] = html[mask].map(extract_text_bytes)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Native (codegen'd) text-analysis column builders
 # ---------------------------------------------------------------------------

@@ -422,57 +422,60 @@ class SnapshotTable:
             schemas.append(new_schema.jsonValue())
         new_schema_id = len(schemas) - 1
 
-        # ---- 2. the heavy job: dedup → transform → resolve → write ----
-        if pre_deduped:
-            deduped = events
-        else:
-            payload = [c for c in events.columns if c != self.key]
-            ordered_in = [self.ord_col] + [c for c in payload if c != self.ord_col]
-            deduped = (
-                events.groupBy(self.key)
-                .agg(F.max(F.struct(*[F.col(c) for c in ordered_in])).alias("__b"))
-                .select(self.key,
-                        *[F.col(f"__b.{c}").alias(c) for c in ordered_in])
-            )
-
+        # ---- 2. the heavy job: merge in ONE shuffle + ONE local sort.
+        # Physical shape chosen by measurement (scripts/dedup_shape_bench.py):
+        # the declarative max(struct(ord, payload)) compiles to SortAggregate
+        # (payload sorted twice, partial+final) because variable-length
+        # fields can't use the fixed-size hash-agg buffer. Instead:
+        #   union(raw events, touched-buckets' current rows)
+        #     → repartition by bucket                (the ONLY payload shuffle)
+        #     → sortWithinPartitions(key, ord desc)  (one local sort)
+        #     → mapInPandas keep-first-per-key       (streaming, O(batch) mem)
+        #     → transform (extraction, only rows missing text)
+        #     → write partitionBy bucket             (no extra repartition —
+        #       the merge shuffle already bucket-aligned the data)
+        # Dedup, LWW resolve vs current, and bucket placement all ride that
+        # single exchange. Tombstone winners persist (null payload, flag
+        # set) so merges commute across batches.
+        tomb_field = T.StructField(_TOMBSTONE, T.BooleanType())
         src = align_to_schema(
-            deduped.withColumn(_TOMBSTONE, F.col(op_col) == "delete"),
-            T.StructType(new_schema.fields
-                         + [T.StructField(_TOMBSTONE, T.BooleanType())]),
-        ).withColumn("__bucket", bucket_expr(self.key, self.n_buckets))
-        if transform is not None:
-            src = transform(src)
-
+            events.withColumn(_TOMBSTONE, F.col(op_col) == "delete"),
+            T.StructType(new_schema.fields + [tomb_field]),
+        )
         current = self._read_buckets(commit, touched, new_schema)
-        current = current.withColumn(
+        unioned = src.unionByName(current).withColumn(
             "__bucket", bucket_expr(self.key, self.n_buckets)
         )
-
-        # LWW resolve: union current+updates, keep max-lsn row per key.
-        # Tombstone winners persist (null payload, flag set) so merges
-        # commute across batches. Hash-agg (map-side combinable), one
-        # shuffle on key — and only over touched buckets' data.
-        cols = [f.name for f in new_schema.fields]
-        ordered = [self.ord_col] + [
-            c for c in cols if c != self.ord_col and c != self.key
-        ] + [_TOMBSTONE]
-        unioned = current.unionByName(src)
-        survivors = (
-            unioned.groupBy(self.key, "__bucket")
-            .agg(F.max(F.struct(*[F.col(c) for c in ordered])).alias("b"))
-            .select(
-                self.key, "__bucket",
-                *[F.col(f"b.{c}").alias(c) for c in ordered],
-            )
+        n_parts = max(len(touched), 1)
+        prepped = (
+            unioned.repartition(n_parts, F.col("__bucket"))
+            .sortWithinPartitions(F.col(self.key).asc(), F.col(self.ord_col).desc())
         )
+        key = self.key
+        out_schema = prepped.schema
+
+        def keep_first_per_key(batches):  # pragma: no cover (executor)
+            last = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf
+                    continue
+                keep = pdf[key].ne(pdf[key].shift())
+                if last is not None:
+                    keep.iloc[0] = pdf[key].iloc[0] != last
+                last = pdf[key].iloc[-1]
+                yield pdf[keep]
+
+        survivors = prepped.mapInPandas(keep_first_per_key, out_schema)
+        if transform is not None:
+            survivors = transform(survivors)
 
         # ---- rewrite touched buckets under the new snapshot ----
         new_version = cur_version + 1
         rel = os.path.join(_DATA_DIR, f"snap{new_version:010d}")
         out_dir = os.path.join(self.path, rel)
         (
-            survivors.repartition(max(len(touched), 1), F.col("__bucket"))
-            .write.mode("overwrite")
+            survivors.write.mode("overwrite")
             .partitionBy("__bucket")
             .parquet(out_dir)
         )

@@ -44,12 +44,14 @@ def lww_dedup(df: DataFrame, key: str = "url", ord_col: str = "lsn") -> DataFram
 
 
 def lww_dedup_agg(df: DataFrame, key: str = "url", ord_col: str = "lsn") -> DataFrame:
-    """Same result via hash aggregation: ``max(struct(ord, *payload))``.
+    """Same result via aggregation: ``max(struct(ord, *payload))``.
 
-    Partial-aggregatable (map-side combine) — preferred physical form when
-    the payload is small enough to flow through an aggregate buffer. For
-    web-page payloads (html can be MBs) the window form can be cheaper in
-    memory; benchmarked in bench.py.
+    CAVEAT (measured, scripts/dedup_shape_bench.py): with variable-length
+    payload fields (strings/binary) this compiles to SortAggregate — the
+    payload is sorted in both the partial and final phases. Prefer
+    ``lww_dedup_maxjoin`` for wide/var-len payloads; this form is ideal only
+    for narrow fixed-width payloads where the fixed-size hash-agg buffer
+    applies (true map-side combine).
     """
     payload = [c for c in df.columns if c != key]
     # ord_col first in the struct => struct max == max by ord_col

@@ -44,8 +44,16 @@ METRICS_SCHEMA = T.StructType([
 ])
 
 
-def target_schema(with_fetch_status: bool = False) -> T.StructType:
-    """Initial target-table schema (FIXTURES.md §1 + lsn for LWW/idempotence)."""
+def target_schema(with_fetch_status: bool = False,
+                  with_derived: bool = False) -> T.StructType:
+    """Initial target-table schema (FIXTURES.md §1 + lsn for LWW/idempotence).
+
+    ``with_derived`` adds the ingest-time analysis columns a web-scale
+    pipeline computes while the bytes are hot (fingerprint for exact-dup
+    keying, quality score, token count, language guess) — all native
+    Catalyst expressions, no UDF. Off by default: measured ~5x ingest
+    throughput cost (10+ regex passes per KB of text); turn on via
+    ReplayConfig.derived_columns when the table should carry them."""
     fields = [
         T.StructField("url", T.StringType(), False),
         T.StructField("lsn", T.LongType(), False),
@@ -54,38 +62,49 @@ def target_schema(with_fetch_status: bool = False) -> T.StructType:
         T.StructField("text", T.StringType()),
         T.StructField("lang", T.StringType()),
     ]
+    if with_derived:
+        fields += [
+            T.StructField("fingerprint", T.LongType()),
+            T.StructField("quality", T.DoubleType()),
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("lang_guess", T.StringType()),
+        ]
     if with_fetch_status:
         fields.append(T.StructField("fetch_status", T.LongType()))
     return T.StructType(fields)
 
 
 def build_merge_source(events: DataFrame, n_salt: int = 16,
-                       strategy: str = "agg") -> DataFrame:
+                       strategy: str = "maxjoin") -> DataFrame:
     """Change events → merge-ready source: LWW dedup + vectorized extraction.
 
-    Physical strategy (measured at sf0.1, 32 cores, 20k-event batches):
+    Physical strategy (measured — scripts/dedup_shape_bench.py):
 
-    - "agg" (default): ONE hash aggregation ``max(struct(lsn, payload))``.
-      Partial aggregation (map-side combine) is the skew handling — a hot
-      url with millions of events emits ≤1 row per map task, so no reducer
-      ever receives the hot key's raw rows. 2.0s vs 11.3s for the explicit
-      two-phase salted variant (kept as "salted" for payloads too wide for
-      an aggregation buffer) and 1.5s for the window form (which sorts ALL
-      rows per key — skew-prone).
+    - "maxjoin" (default): light ``max(lsn)`` per key (codegen'd
+      HashAggregate over pruned columns, true map-side combine = skew
+      handling) + left-semi join back for the winner payload. Best absolute
+      time at 4 and 16 cores; the payload moves once, never sorts.
+    - "agg": ``max(struct(lsn, payload))`` — SortAggregate fallback for
+      var-len payloads (see lww_dedup_agg caveat).
+    - "salted": explicit two-phase salt for pathological cases.
     - ``text`` is extracted AFTER dedup: the Arrow UDF runs on ≤1 row per
       url, cutting UDF work by the batch's duplication factor.
 
     Note: ``ReplayEngine.apply_batch`` no longer routes through this — the
-    dedup+transform live inside ``SnapshotTable.merge_events`` so the whole
-    merge is one payload pass. This remains the standalone composition for
-    pipelines that want the merge-ready frame itself.
+    merge fuses dedup+resolve+placement into one shuffle inside
+    ``SnapshotTable.merge_events``. This remains the standalone composition
+    for pipelines that want the merge-ready frame itself.
     """
     if strategy == "salted":
         deduped = lww_dedup_salted(events, key="url", ord_col="lsn", n_salt=n_salt)
-    else:
+    elif strategy == "agg":
         from hyped_spark.operators.lww import lww_dedup_agg
 
         deduped = lww_dedup_agg(events, key="url", ord_col="lsn")
+    else:
+        from hyped_spark.operators.lww import lww_dedup_maxjoin
+
+        deduped = lww_dedup_maxjoin(events, key="url", ord_col="lsn")
     return deduped.withColumn("text", extract_text(F.col("html")))
 
 
@@ -96,6 +115,7 @@ class ReplayConfig:
     batch_lsns: int = 100_000       # LSNs per microbatch
     n_buckets: int = 16             # table buckets (≫ at real scale)
     n_salt: int = 16                # salt fan-out for hot keys
+    derived_columns: bool = False   # ingest-time analysis columns (see target_schema)
 
 
 class ReplayEngine:
@@ -150,10 +170,40 @@ class ReplayEngine:
 
     @staticmethod
     def _extract_transform(df: DataFrame) -> DataFrame:
-        """Post-dedup vectorized transform slot: HTML→text extraction on the
-        ≤1-row-per-url survivors (the reference's heavy batch-processor
-        position, tokenizers/hf.py:404-441)."""
-        return df.withColumn("text", extract_text(F.col("html")))
+        """Post-merge vectorized transform slot (the reference's heavy
+        batch-processor position, tokenizers/hf.py:404-441):
+
+        - HTML→text extraction (Arrow UDF) only on winner rows missing text;
+        - ingest-time analysis columns (fingerprint / quality / token count /
+          language guess) as native Catalyst expressions — JVM-side regex,
+          whole-stage codegen, no extra Arrow pass."""
+        from hyped_spark.functions.text import (
+            extract_text_if_missing,
+            fingerprint_col,
+            lang_id_col,
+            quality_score_col,
+            token_count_col,
+        )
+
+        out = df.withColumn(
+            "text", extract_text_if_missing(F.col("html"), F.col("text"))
+        )
+        has = set(out.columns)
+        t = F.col("text")
+        if "fingerprint" in has:
+            out = out.withColumn(
+                "fingerprint",
+                F.when(t.isNotNull(), fingerprint_col(t)),
+            )
+        if "quality" in has:
+            out = out.withColumn("quality", F.when(t.isNotNull(), quality_score_col(t)))
+        if "n_tokens" in has:
+            out = out.withColumn(
+                "n_tokens", F.when(t.isNotNull(), token_count_col(t)).cast("int")
+            )
+        if "lang_guess" in has:
+            out = out.withColumn("lang_guess", F.when(t.isNotNull(), lang_id_col(t)))
+        return out
 
     def apply_batch(self, events: DataFrame, batch_id: int,
                     guard: str = "lsn") -> MergeStats:
@@ -176,7 +226,10 @@ class ReplayEngine:
         so each batch reads only its slice of the log, not the whole log.
         """
         if self.table.current_version() < 0:
-            self.table.init_empty(init_schema or target_schema())
+            self.table.init_empty(
+                init_schema
+                or target_schema(with_derived=self.cfg.derived_columns)
+            )
         bounds = log.agg(F.min("lsn"), F.max("lsn")).collect()[0]
         if bounds[0] is None:
             return []
