@@ -380,14 +380,51 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane LSH buckets."""
+    """Embedding-cosine near-dup pairs via hyperplane LSH buckets.
+
+    The raw sf tables carry no true near-duplicates at 0.99 cosine (measured
+    max random-pair cosine ≈ 0.51), so the query plants deterministic ones:
+    scaled copies (vec_id + 100000, each element ×1.01). Scaling leaves
+    cosine at exactly 1.0 and never flips a hyperplane sign, so the LSH
+    bucketing provably co-locates each planted pair — the result equals the
+    brute-force oracle, making the driver check non-vacuous."""
     from hyped_spark.operators.similarity import embedding_neardup_pairs
 
-    emb = _load(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
     )
+    planted = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.01).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
     dim = len(emb.select("embedding").first()[0])
-    return embedding_neardup_pairs(emb, dim=dim, min_cosine=0.9, n_bits=6)
+    return embedding_neardup_pairs(corpus, dim=dim, min_cosine=0.99, n_bits=6)
+
+
+def seq_val_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SequenceValueHistogram analogue (A5): binned histogram over flattened
+    array values (here: per-word lengths of part names)."""
+    from hyped_spark.operators.stats import seq_val_histogram
+
+    p = _load(spark, sf_dir, "part")
+    d = p.select(
+        F.transform(
+            F.split(F.col("p_name"), " "), lambda t: F.length(t).cast("double")
+        ).alias("lens")
+    )
+    return seq_val_histogram(d, "lens", 0.0, 20.0, 10)
+
+
+def disc_seq_val_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiscreteSequenceValueHistogram analogue (A6): value counts over
+    flattened array values (order-priority tokens)."""
+    from hyped_spark.operators.stats import disc_seq_val_histogram
+
+    o = _load(spark, sf_dir, "orders")
+    d = o.select(F.split(F.col("o_orderpriority"), "-").alias("toks"))
+    return disc_seq_val_histogram(d, "toks")
 
 
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,6 +503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": ann_topk_cosine,
         "ann_topk_lsh": ann_topk_lsh,
         "embedding_neardup": embedding_neardup,
+        "seq_val_hist": seq_val_hist,
+        "disc_seq_val_hist": disc_seq_val_hist,
         "quality_scores": quality_scores,
         "asof_join_events": asof_join_events,
         "range_join_parts": range_join_parts,
@@ -568,8 +607,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_slice(t, s + 1, s + 8)) >= 1
         """,
         "parse_json_props": """
+            -- outer CAST: DuckDB sum(BIGINT) yields DECIMAL128; Spark sum(long)
+            -- yields long — align the result type for the driver's value hash.
             SELECT event_type,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
                    count(*) AS n
             FROM events GROUP BY event_type
         """,
@@ -630,6 +672,37 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "ngram_jaccard_pairs_docs": _jaccard_oracle(min_jaccard=0.4),
+        "embedding_neardup": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ), corpus AS (
+                SELECT vec_id, e FROM v
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id,
+                       list_transform(e, x -> x * 1.01) AS e
+                FROM v WHERE vec_id < 16
+            ), scored AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_dot_product(a.e, b.e) /
+                             (sqrt(list_dot_product(a.e, a.e)) *
+                              sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+                FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.99
+        """,
+        "seq_val_hist": """
+            SELECT bin, count(*) AS n FROM (
+                SELECT least(CAST(floor(least(greatest(len(word), 0), 20) / 2.0)
+                             AS INT), 9) AS bin
+                FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+            ) GROUP BY bin ORDER BY bin
+        """,
+        "disc_seq_val_hist": """
+            SELECT value, count(*) AS n FROM (
+                SELECT unnest(string_split(o_orderpriority, '-')) AS value
+                FROM orders
+            ) GROUP BY value
+        """,
         "asof_join_events": """
             WITH purchases AS (
                 SELECT user_id, ts, event_id AS purchase_id FROM events
