@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hyped_spark.operators.common import spread
+
 
 def dot_col(a: Column, b: Column) -> Column:
     """Native dot product of two float arrays."""
@@ -54,7 +56,7 @@ def brute_force_topk(
     from pyspark.sql import Window
 
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    c = spread(corpus).select(F.col(id_col), F.col(vec_col).alias("__cv"))
     scored = c.join(F.broadcast(q)).withColumn(
         "cosine", F.round(cosine_col(F.col("__qv"), F.col("__cv")), 6)
     )
@@ -122,7 +124,7 @@ def lsh_topk(
     from pyspark.sql import Window
 
     sketch = make_sketch_udf(dim, n_bits)
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")).withColumn(
+    c = spread(corpus).select(F.col(id_col), F.col(vec_col).alias("__cv")).withColumn(
         "__bucket", sketch(F.col("__cv"))
     )
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")).withColumn(
@@ -151,9 +153,9 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Self near-dup pairs (id_a < id_b) with cosine ≥ threshold, bucketed."""
     sketch = make_sketch_udf(dim, n_bits)
-    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
-        "__bucket", sketch(F.col("v"))
-    )
+    base = spread(corpus).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("__bucket", sketch(F.col("v")))
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "__bucket")
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "__bucket")
     return (
