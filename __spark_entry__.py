@@ -460,6 +460,26 @@ def range_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("pk_a", "pk_b", "brand")
 
 
+def relex_mark_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RelExTagger analogue (V9): insert entity markers around fixed token
+    spans; docs shorter than the spans are filtered (generator-empty)."""
+    from hyped_spark.operators.spans import relex_tag
+
+    d = _load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("toks")).filter(
+        F.size("toks") >= 9
+    )
+    df = (
+        toks.withColumn("sb", F.lit(1)).withColumn("se", F.lit(3))
+        .withColumn("tb", F.lit(5)).withColumn("te", F.lit(8))
+    )
+    out = relex_tag(df, "toks", "sb", "se", "tb", "te",
+                    ("<s>", "</s>", "<t>", "</t>"))
+    return out.select(
+        "doc_id", F.array_join("marked_sequence", " ").alias("marked")
+    )
+
+
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-score distribution buckets over documents."""
     from hyped_spark.functions.text import quality_score_col
@@ -508,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": quality_scores,
         "asof_join_events": asof_join_events,
         "range_join_parts": range_join_parts,
+        "relex_mark_docs": relex_mark_docs,
     }
 
 
@@ -748,6 +769,20 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "quality_scores": _quality_oracle(),
+        # fixed spans (1,3)/(5,8), no truncation: marker insertion is pure
+        # list surgery, so the oracle is the explicit slice concatenation
+        "relex_mark_docs": """
+            SELECT doc_id,
+                   array_to_string(
+                       list_slice(t, 1, 1) || ['<s>'] ||
+                       list_slice(t, 2, 3) || ['</s>'] ||
+                       list_slice(t, 4, 5) || ['<t>'] ||
+                       list_slice(t, 6, 8) || ['</t>'] ||
+                       list_slice(t, 9, len(t))
+                   , ' ') AS marked
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+            WHERE len(t) >= 9
+        """,
     }
 
 

@@ -42,6 +42,11 @@ BENCH_QUERIES = [
     "ann_topk_cosine",
     "ann_topk_lsh",
     "embedding_neardup",
+    "relex_mark_docs",
+    "seq_val_hist",
+    "disc_seq_val_hist",
+    "asof_join_events",
+    "range_join_parts",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

@@ -79,6 +79,8 @@ class MergeStats:
     skipped_replay: bool = False
     # per-partition lineage: bucket id -> rows applied to it in this batch
     bucket_rows: dict[int, int] | None = None
+    # per-phase wall-clock (ms): meta / heavy / commit — for overhead audits
+    phases: dict[str, int] | None = None
 
 
 class SnapshotTable:
@@ -308,7 +310,7 @@ class SnapshotTable:
         guard: str = "lsn",
         op_col: str = "op",
         transform=None,
-        pre_deduped: bool = False,
+        stats_mode: str = "observe",
     ) -> MergeStats:
         """Idempotent LWW MERGE of a change batch — ONE pass over the payload.
 
@@ -324,19 +326,28 @@ class SnapshotTable:
 
         Physical shape (what matters at 100 TB):
 
-        1. **Light meta job** — guard, lineage, and batch composition
-           (raw/dedup/delete counts) from a column-pruned scan of
-           (key, ord, op): parquet reads three small columns, payload
-           untouched. A replayed batch is detected here for the cost of a
-           metadata scan. (An Observation side-output on the heavy job was
-           tried instead and deadlocks inside streaming foreachBatch — the
-           light pre-job is also what makes cheap replay-skip possible.)
-        2. **One heavy job** — LWW dedup (hash-agg, map-side combine = skew
-           handling) → ``transform`` (e.g. vectorized text extraction, runs
-           on the ≤1-row-per-key survivors only) → union with the touched
-           buckets' current rows → LWW resolve → bucket rewrite. The payload
-           is scanned once, shuffled once (≤1 row per key per map task),
+        1. **Light meta job** — guard + per-bucket lineage from a
+           column-pruned scan of (key, ord): the aggregate has ≤ n_buckets
+           groups, so it is entirely map-side combine with a tiny shuffle
+           and the payload never enters the job. A replayed batch is
+           detected here for the cost of a two-column scan.
+        2. **One heavy job** — union(raw events, touched buckets' current
+           rows) → bucket repartition (the ONLY payload shuffle) → local
+           sort → keep-first-per-key LWW resolve → ``transform`` (e.g.
+           vectorized text extraction on the ≤1-row-per-key survivors) →
+           bucket rewrite. The payload is scanned once, shuffled once,
            written once. No persist/cache of the payload.
+
+        ``stats_mode`` — where the winner-level stats (rows_after_dedup /
+        upserted / deleted) come from:
+        - "observe" (default): an ``Observation`` side-output on the heavy
+          write job — zero extra scans. rows_after_dedup counts the batch
+          rows that WON the LWW resolve (equal to distinct batch keys for
+          monotone-LSN batches; may be lower when an out-of-order epoch
+          loses to already-applied higher LSNs).
+        - "meta": a per-key pre-aggregation job (distinct batch keys +
+          winner ops), one extra pruned scan. Used by the streaming path:
+          an Observation inside ``foreachBatch`` deadlocks (measured r1).
 
         Replay guard (``guard``):
         - "lsn":      skip when lsn_max ≤ the committed lsn high-watermark
@@ -351,6 +362,7 @@ class SnapshotTable:
         the out-of-order case safe.
         """
         t0 = time.monotonic()
+        phases: dict[str, int] = {}
         cur_version = self.current_version()
         if cur_version < 0:
             raise ValueError("call init_empty(schema) before merging")
@@ -360,44 +372,60 @@ class SnapshotTable:
         committed_lsn = int(commit["summary"].get("lsn_max", -1))
         committed_batch = int(commit["summary"].get("batch_id", -1))
 
-        # ---- 1. light meta: guard + lineage + batch composition from a
-        # column-pruned scan of (key, ord, op) only. Two-level aggregation:
-        # per-key winners first (count + winner op via max_by), then the
-        # per-bucket rollup — payload columns never enter this job.
-        per_key = (
-            events.select(
-                bucket_expr(self.key, self.n_buckets).alias("__bucket"),
-                F.col(self.key),
-                F.col(self.ord_col),
-                F.col(op_col),
+        # ---- 1. light meta: guard + per-bucket lineage. "observe" mode
+        # aggregates straight to ≤ n_buckets groups (pure map-side combine);
+        # "meta" mode goes through per-key winners first to also get exact
+        # dedup/delete counts without an Observation.
+        if stats_mode == "observe":
+            meta = (
+                events.select(
+                    bucket_expr(self.key, self.n_buckets).alias("__bucket"),
+                    F.col(self.ord_col),
+                )
+                .groupBy("__bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min(self.ord_col).alias("lmin"),
+                    F.max(self.ord_col).alias("lmax"),
+                )
+                .collect()
             )
-            .groupBy("__bucket", self.key)
-            .agg(
-                F.count(F.lit(1)).alias("kn"),
-                F.min(self.ord_col).alias("klmin"),
-                F.max(self.ord_col).alias("klmax"),
-                F.max_by(op_col, self.ord_col).alias("kop"),
+            n_dedup = n_deleted = None  # from the Observation, post-write
+        else:
+            per_key = (
+                events.select(
+                    bucket_expr(self.key, self.n_buckets).alias("__bucket"),
+                    F.col(self.key),
+                    F.col(self.ord_col),
+                    F.col(op_col),
+                )
+                .groupBy("__bucket", self.key)
+                .agg(
+                    F.count(F.lit(1)).alias("kn"),
+                    F.min(self.ord_col).alias("klmin"),
+                    F.max(self.ord_col).alias("klmax"),
+                    F.max_by(op_col, self.ord_col).alias("kop"),
+                )
             )
-        )
-        meta = (
-            per_key.groupBy("__bucket")
-            .agg(
-                F.sum("kn").alias("n"),
-                F.min("klmin").alias("lmin"),
-                F.max("klmax").alias("lmax"),
-                F.count(F.lit(1)).alias("n_keys"),
-                F.count(F.when(F.col("kop") == "delete", 1)).alias("n_del"),
+            meta = (
+                per_key.groupBy("__bucket")
+                .agg(
+                    F.sum("kn").alias("n"),
+                    F.min("klmin").alias("lmin"),
+                    F.max("klmax").alias("lmax"),
+                    F.count(F.lit(1)).alias("n_keys"),
+                    F.count(F.when(F.col("kop") == "delete", 1)).alias("n_del"),
+                )
+                .collect()
             )
-            .collect()
-        )
+            n_dedup = sum(r["n_keys"] for r in meta)
+            n_deleted = sum(r["n_del"] for r in meta)
         touched = [int(r["__bucket"]) for r in meta]
         bucket_rows = {int(r["__bucket"]): int(r["n"]) for r in meta}
         rows_in_batch = sum(r["n"] for r in meta)
-        n_dedup = sum(r["n_keys"] for r in meta)
-        n_deleted = sum(r["n_del"] for r in meta)
-        n_upserted = n_dedup - n_deleted
         lsn_min = int(min((r["lmin"] for r in meta), default=-1))
         lsn_max = int(max((r["lmax"] for r in meta), default=-1))
+        phases["meta_ms"] = int((time.monotonic() - t0) * 1000)
 
         replayed = (
             lsn_max <= committed_lsn if guard == "lsn"
@@ -407,7 +435,7 @@ class SnapshotTable:
             return MergeStats(batch_id, cur_version, lsn_min, lsn_max,
                               rows_in_batch, 0, 0, 0, 0,
                               int((time.monotonic() - t0) * 1000),
-                              skipped_replay=True)
+                              skipped_replay=True, phases=phases)
 
         # ---- schema evolution (transactional: lands in the same commit).
         # __-prefixed columns are engine metadata, never table schema.
@@ -423,54 +451,62 @@ class SnapshotTable:
         new_schema_id = len(schemas) - 1
 
         # ---- 2. the heavy job: merge in ONE shuffle + ONE local sort.
-        # Physical shape chosen by measurement (scripts/dedup_shape_bench.py):
-        # the declarative max(struct(ord, payload)) compiles to SortAggregate
-        # (payload sorted twice, partial+final) because variable-length
-        # fields can't use the fixed-size hash-agg buffer. Instead:
         #   union(raw events, touched-buckets' current rows)
         #     → repartition by bucket                (the ONLY payload shuffle)
-        #     → sortWithinPartitions(key, ord desc)  (one local sort)
-        #     → mapInPandas keep-first-per-key       (streaming, O(batch) mem)
+        #     → window-rank LWW per (bucket, key)    (JVM: the bucket
+        #       partitioning already satisfies the window's distribution —
+        #       no second exchange — and Spark's WindowGroupLimit pushes
+        #       rank≤1 into the sort, so losers are dropped DURING the sort)
         #     → transform (extraction, only rows missing text)
         #     → write partitionBy bucket             (no extra repartition —
         #       the merge shuffle already bucket-aligned the data)
         # Dedup, LWW resolve vs current, and bucket placement all ride that
         # single exchange. Tombstone winners persist (null payload, flag
         # set) so merges commute across batches.
+        # Round 1 used sortWithinPartitions + a mapInPandas keep-first —
+        # same plan shape, but it pushed every row's html payload through
+        # Arrow→pandas→Arrow; the window rank keeps the payload JVM-side
+        # and measured ~25% faster with better core scaling.
         tomb_field = T.StructField(_TOMBSTONE, T.BooleanType())
         src = align_to_schema(
             events.withColumn(_TOMBSTONE, F.col(op_col) == "delete"),
             T.StructType(new_schema.fields + [tomb_field]),
+        ).withColumn("__src", F.lit(True))
+        current = self._read_buckets(commit, touched, new_schema).withColumn(
+            "__src", F.lit(False)
         )
-        current = self._read_buckets(commit, touched, new_schema)
         unioned = src.unionByName(current).withColumn(
             "__bucket", bucket_expr(self.key, self.n_buckets)
         )
+        from pyspark.sql import Window
+
         n_parts = max(len(touched), 1)
-        prepped = (
-            unioned.repartition(n_parts, F.col("__bucket"))
-            .sortWithinPartitions(F.col(self.key).asc(), F.col(self.ord_col).desc())
+        prepped = unioned.repartition(n_parts, F.col("__bucket"))
+        w = Window.partitionBy("__bucket", self.key).orderBy(
+            F.col(self.ord_col).desc()
         )
-        key = self.key
-        out_schema = prepped.schema
-
-        def keep_first_per_key(batches):  # pragma: no cover (executor)
-            last = None
-            for pdf in batches:
-                if len(pdf) == 0:
-                    yield pdf
-                    continue
-                keep = pdf[key].ne(pdf[key].shift())
-                if last is not None:
-                    keep.iloc[0] = pdf[key].iloc[0] != last
-                last = pdf[key].iloc[-1]
-                yield pdf[keep]
-
-        survivors = prepped.mapInPandas(keep_first_per_key, out_schema)
+        survivors = (
+            prepped.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         if transform is not None:
             survivors = transform(survivors)
 
         # ---- rewrite touched buckets under the new snapshot ----
+        obs = None
+        if stats_mode == "observe":
+            from pyspark.sql import Observation
+
+            obs = Observation(f"merge_{batch_id}")
+            survivors = survivors.observe(
+                obs,
+                F.sum(F.when(F.col("__src"), 1).otherwise(0)).alias("n_batch_winners"),
+                F.sum(
+                    F.when(F.col("__src") & F.col(_TOMBSTONE), 1).otherwise(0)
+                ).alias("n_batch_del"),
+            )
+        survivors = survivors.drop("__src")
         new_version = cur_version + 1
         rel = os.path.join(_DATA_DIR, f"snap{new_version:010d}")
         out_dir = os.path.join(self.path, rel)
@@ -478,6 +514,14 @@ class SnapshotTable:
             survivors.write.mode("overwrite")
             .partitionBy("__bucket")
             .parquet(out_dir)
+        )
+        if obs is not None:
+            vals = obs.get
+            n_dedup = int(vals["n_batch_winners"] or 0)
+            n_deleted = int(vals["n_batch_del"] or 0)
+        n_upserted = n_dedup - n_deleted
+        phases["heavy_ms"] = (
+            int((time.monotonic() - t0) * 1000) - phases["meta_ms"]
         )
 
         # ---- manifest: new paths for touched, carry-forward for the rest.
@@ -514,26 +558,27 @@ class SnapshotTable:
                 "operation": "merge",
             },
         })
+        phases["commit_ms"] = (
+            int((time.monotonic() - t0) * 1000)
+            - phases["meta_ms"] - phases["heavy_ms"]
+        )
         return MergeStats(batch_id, new_version, int(lsn_min), int(lsn_max),
                           int(rows_in_batch), int(n_dedup), int(n_upserted),
                           int(n_deleted), len(touched), latency_ms,
-                          bucket_rows=bucket_rows)
+                          bucket_rows=bucket_rows, phases=phases)
 
     def merge_batch(
         self,
         updates: DataFrame,
         batch_id: int,
-        lsn_min: int | None = None,
-        lsn_max: int | None = None,
-        rows_in_batch: int | None = None,
         op_col: str = "op",
         guard: str = "lsn",
+        stats_mode: str = "observe",
     ) -> MergeStats:
-        """Pre-deduped variant of merge_events (≤1 row per key, e.g. a
-        build_merge_source output). Lineage lsn_min/rows_in_batch reflect
-        the deduped rows (raw pre-dedup values aren't recoverable here —
-        use merge_events with raw events for exact offset-range lineage;
-        the guard only needs lsn_max, which dedup preserves)."""
+        """Alias of merge_events for already-deduped sources (≤1 row per
+        key, e.g. a build_merge_source output). Identical semantics —
+        merge_events' LWW resolve is a no-op on pre-deduped input; lineage
+        lsn_min/rows_in_batch reflect the rows actually passed in."""
         return self.merge_events(
-            updates, batch_id, guard=guard, op_col=op_col, pre_deduped=True
+            updates, batch_id, guard=guard, op_col=op_col, stats_mode=stats_mode
         )

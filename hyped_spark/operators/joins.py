@@ -73,9 +73,23 @@ def range_join(
 
     ``width`` trades duplication (long intervals span many buckets) against
     bucket selectivity; pick ≈ the median interval length. The exact overlap
-    predicate is re-applied after the equi-join, and duplicates from
-    multi-bucket overlap are removed with a distinct on the join identity.
+    predicate is re-applied after the equi-join; multi-bucket duplication is
+    removed POSITIONALLY — each overlapping pair is kept only in the bucket
+    containing the overlap's start, ``floor(max(lb, rb) / width)``, which
+    both intervals provably cover. Unlike a ``distinct()`` on the projected
+    row (round 1), this preserves genuinely duplicate input rows and needs
+    no extra shuffle.
+
+    Only inner semantics are sound here (bucket explosion would multiply
+    outer-null matches and the overlap filter would drop them) — other
+    ``how`` values raise.
     """
+    if how != "inner":
+        raise ValueError(
+            "range_join supports only how='inner' (outer rows would be "
+            "multiplied by bucket explosion and dropped by the overlap "
+            f"filter); got {how!r}"
+        )
     lb, le = left_range
     rb, re_ = right_range
     lbuck = left.withColumn(
@@ -87,7 +101,8 @@ def range_join(
         F.explode(F.sequence(F.floor(F.col(rb) / width), F.floor((F.col(re_) - 1) / width))),
     )
     keys = ["__bucket"] + ([by] if by else [])
-    joined = lbuck.join(rbuck, keys, how)
+    joined = lbuck.join(rbuck, keys)
     overlap = (F.col(lb) < F.col(re_)) & (F.col(rb) < F.col(le))
+    first_shared = F.col("__bucket") == F.floor(F.greatest(F.col(lb), F.col(rb)) / width)
     out_cols = [c for c in joined.columns if c != "__bucket"]
-    return joined.filter(overlap).select(*out_cols).distinct()
+    return joined.filter(overlap & first_shared).select(*out_cols)

@@ -34,41 +34,119 @@ from pyspark.sql import types as T
 
 
 def overlap_matrix(b1, e1, b2, e2) -> np.ndarray:
-    """n×m boolean: span i of set1 overlaps span j of set2 (end-exclusive)."""
-    b1 = np.asarray(b1)[:, None]
-    e1 = np.asarray(e1)[:, None]
-    b2 = np.asarray(b2)[None, :]
-    e2 = np.asarray(e2)[None, :]
-    return (b1 < e2) & (b2 < e1)
+    """n×m boolean: span i of set1 overlaps span j of set2 (end-exclusive).
+
+    Matches the reference's definition (spans/common.py:89-145) exactly,
+    including empty spans: a zero-length span contained in (or equal to)
+    another span counts as overlapping, which the plain
+    ``(b1 < e2) & (b2 < e1)`` test misses at the begin boundary.
+    """
+    b1 = np.asarray(b1).reshape(-1)[:, None]
+    e1 = np.asarray(e1).reshape(-1)[:, None]
+    b2 = np.asarray(b2).reshape(-1)[None, :]
+    e2 = np.asarray(e2).reshape(-1)[None, :]
+    covers_begin = (b1 <= b2) & (b2 < e1)
+    covers_end = (b1 < e2) & (e2 <= e1)
+    contains = (b1 <= b2) & (e2 <= e1)
+    contained = (b2 <= b1) & (e1 <= e2)
+    return covers_begin | covers_end | contains | contained
+
+
+_STRATEGIES = {"approx", "raise", "keep_first", "keep_last",
+               "keep_largest", "keep_smallest"}
+
+
+def resolve_overlaps_mask(begins, ends, strategy: str = "approx") -> list[bool]:
+    """Resolve span overlaps — keep-mask over the spans.
+
+    Same algorithm as the reference (spans/common.py:148-232, default
+    strategy APPROX): repeatedly drop the span overlapping the most others,
+    where the strategy restricts which member of the worst overlap group is
+    droppable (keep_first protects the first span in the group, keep_largest
+    protects the unique largest, etc.; approx applies no restriction).
+    Iterative removal — not greedy selection — so chained overlaps resolve
+    identically to the reference for every strategy.
+    """
+    if strategy not in _STRATEGIES:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    n = len(begins)
+    overlap = overlap_matrix(begins, ends, begins, ends)
+    counts = overlap.sum(axis=1).astype(int)
+    sizes = np.asarray(ends, dtype=int) - np.asarray(begins, dtype=int)
+
+    while (counts > 1).any():
+        if strategy == "raise":
+            raise ValueError("overlapping spans with strategy=raise")
+        # the overlap group of the currently-worst span
+        group = overlap[counts.argmax(), :].copy()
+        if strategy == "keep_first":
+            group[int(group.argmax())] = False
+        elif strategy == "keep_last":
+            group[int(np.nonzero(group)[0][-1])] = False
+        elif strategy == "keep_largest":
+            gs = sizes[group]
+            if (gs < gs.max()).any():
+                group[group] &= gs < gs.max()
+        elif strategy == "keep_smallest":
+            gs = sizes[group]
+            if (gs > gs.min()).any():
+                group[group] &= gs > gs.min()
+        # among the remaining candidates, drop the most-overlapping one
+        group[group] = counts[group] == counts[group].max()
+        drop = int(group.argmax())
+        counts = counts - overlap[drop, :].astype(int)
+        counts[drop] = -1
+        overlap[:, drop] = False
+        overlap[drop, :] = False
+    return (counts != -1).tolist()
 
 
 def resolve_overlaps_idx(begins, ends, strategy: str = "keep_largest") -> list[int]:
-    """Greedy maximum-non-overlap subset; returns kept indices (sorted).
+    """Kept indices (sorted) — see resolve_overlaps_mask for semantics."""
+    mask = resolve_overlaps_mask(begins, ends, strategy)
+    return [i for i, keep in enumerate(mask) if keep]
 
-    Strategies mirror the reference: keep_first (lowest index wins),
-    keep_last, keep_largest (longest wins), keep_smallest, raise.
+
+def relex_mark(
+    seq,
+    src_span: tuple[int, int],
+    tgt_span: tuple[int, int],
+    markers,
+    max_sequence_length: int | None = None,
+    source_inclusive: bool = False,
+    target_inclusive: bool = False,
+):
+    """RelEx marker insertion + window truncation (reference V9,
+    taggers/relex.py:32-288). Returns the marked sequence, or None when the
+    entity distance exceeds ``max_sequence_length`` (row filtered —
+    the reference's generator-empty case).
+
+    ``markers`` = (source_begin, source_end, target_begin, target_end);
+    spans are converted to end-exclusive first, so end markers land after
+    the entity's last item.
     """
-    n = len(begins)
-    order = list(range(n))
-    if strategy == "keep_largest":
-        order.sort(key=lambda i: (-(ends[i] - begins[i]), i))
-    elif strategy == "keep_smallest":
-        order.sort(key=lambda i: (ends[i] - begins[i], i))
-    elif strategy == "keep_last":
-        order = order[::-1]
-    elif strategy == "raise":
-        m = overlap_matrix(begins, ends, begins, ends)
-        np.fill_diagonal(m, False)
-        if m.any():
-            raise ValueError("overlapping spans with strategy=raise")
-        return list(range(n))
-    elif strategy != "keep_first":
-        raise ValueError(f"unknown strategy {strategy!r}")
-    kept: list[int] = []
-    for i in order:
-        if all(not (begins[i] < ends[j] and begins[j] < ends[i]) for j in kept):
-            kept.append(i)
-    return sorted(kept)
+    seq = list(seq)
+    n = len(seq)
+    positions = [
+        src_span[0], src_span[1] + int(source_inclusive),
+        tgt_span[0], tgt_span[1] + int(target_inclusive),
+    ]
+    if max_sequence_length is not None:
+        lo, hi = min(positions), max(positions)
+        if hi - lo > max_sequence_length:
+            return None
+        budget = max_sequence_length - 4  # four markers join the sequence
+        slack = budget - (hi - lo)
+        i = max(0, lo - slack // 2)
+        j = min(n, i + budget)
+        i = max(0, j - budget)
+        seq = seq[i:j]
+        positions = [p - i for p in positions]
+    # insert back-to-front so earlier insertions don't shift later targets;
+    # tie-break at equal positions matches the reference (relex.py:284)
+    for k in sorted(range(4), key=lambda k: -positions[k] - k // 2):
+        seq.insert(positions[k], markers[k])
+    return seq
 
 
 def covered_idx_spans(qb, qe, sb, se) -> tuple[list[int], list[int]]:
@@ -212,3 +290,40 @@ def bio_tags_udf(n: pd.Series, sb: pd.Series, se: pd.Series,
     return pd.Series([
         bio_tags(int(k), a, b, c) for k, a, b, c in zip(n, sb, se, labels)
     ])
+
+
+def make_relex_udf(markers, max_sequence_length: int | None = None,
+                   source_inclusive: bool = False,
+                   target_inclusive: bool = False,
+                   element_type: T.DataType | None = None):
+    """Arrow-vectorized RelEx marker UDF (V9): (seq, sb, se, tb, te) →
+    marked sequence, or NULL when the entity distance exceeds the max
+    (the caller filters NULLs = the reference's row-dropping generator)."""
+    et = element_type or T.StringType()
+
+    @F.pandas_udf(T.ArrayType(et))
+    def relex(seq: pd.Series, sb: pd.Series, se: pd.Series,
+              tb: pd.Series, te: pd.Series) -> pd.Series:  # pragma: no cover
+        return pd.Series([
+            relex_mark(s, (int(b1), int(e1)), (int(b2), int(e2)), markers,
+                       max_sequence_length, source_inclusive, target_inclusive)
+            for s, b1, e1, b2, e2 in zip(seq, sb, se, tb, te)
+        ])
+
+    return relex
+
+
+def relex_tag(df, seq_col: str, src_begin: str, src_end: str,
+              tgt_begin: str, tgt_end: str, markers,
+              out_col: str = "marked_sequence", **kwargs):
+    """RelExTagger (reference taggers/relex.py:32-288): insert the four
+    entity markers into ``seq_col``; rows whose entity distance exceeds
+    ``max_sequence_length`` are filtered out (generator-empty semantics)."""
+    elem = df.schema[seq_col].dataType.elementType
+    udf = make_relex_udf(markers, element_type=elem, **kwargs)
+    out = df.withColumn(
+        out_col,
+        udf(F.col(seq_col), F.col(src_begin), F.col(src_end),
+            F.col(tgt_begin), F.col(tgt_end)),
+    )
+    return out.filter(F.col(out_col).isNotNull())

@@ -173,20 +173,28 @@ class ReplayEngine:
         """Post-merge vectorized transform slot (the reference's heavy
         batch-processor position, tokenizers/hf.py:404-441):
 
-        - HTML→text extraction (Arrow UDF) only on winner rows missing text;
+        - HTML→text extraction (Arrow UDF) only on winner rows missing text.
+          The UDF input is ``when(text IS NULL, html)`` so carried-forward
+          rows (text already present) cross the Arrow boundary as NULLs —
+          the payload transfer, not the regex work, was the measured cost;
         - ingest-time analysis columns (fingerprint / quality / token count /
           language guess) as native Catalyst expressions — JVM-side regex,
           whole-stage codegen, no extra Arrow pass."""
         from hyped_spark.functions.text import (
-            extract_text_if_missing,
+            extract_text,
             fingerprint_col,
             lang_id_col,
             quality_score_col,
             token_count_col,
         )
 
-        out = df.withColumn(
-            "text", extract_text_if_missing(F.col("html"), F.col("text"))
+        out = (
+            df.withColumn(
+                "__extracted",
+                extract_text(F.when(F.col("text").isNull(), F.col("html"))),
+            )
+            .withColumn("text", F.coalesce(F.col("text"), F.col("__extracted")))
+            .drop("__extracted")
         )
         has = set(out.columns)
         t = F.col("text")
@@ -206,13 +214,14 @@ class ReplayEngine:
         return out
 
     def apply_batch(self, events: DataFrame, batch_id: int,
-                    guard: str = "lsn") -> MergeStats:
+                    guard: str = "lsn", stats_mode: str = "observe") -> MergeStats:
         """Dedup + transform + merge + lineage for one microbatch of RAW
         change events. merge_events makes it one payload pass: a pruned
-        (key, lsn) scan for guard/lineage, then a single heavy job."""
+        (key, lsn) scan for guard/lineage, then a single heavy job.
+        ``stats_mode="meta"`` is for foreachBatch callers (see merge_events)."""
         stats = self.table.merge_events(
             events, batch_id=batch_id, guard=guard, op_col="op",
-            transform=self._extract_transform,
+            transform=self._extract_transform, stats_mode=stats_mode,
         )
         if not stats.skipped_replay:
             self._append_metrics(stats)

@@ -17,12 +17,23 @@ from pyspark.sql import functions as F
 
 
 def batch_summary(metrics: DataFrame) -> DataFrame:
-    """Per-batch rollup: offset range, rows, latency, events/sec, skew."""
-    per_batch = metrics.groupBy("batch_id").agg(
-        F.first("lsn_min").alias("lsn_min"),
-        F.first("lsn_max").alias("lsn_max"),
-        F.first("snapshot_id").alias("snapshot_id"),
-        F.first("merge_latency_ms").alias("merge_latency_ms"),
+    """Per-batch rollup: offset range, rows, latency, events/sec, skew.
+
+    A crash-resume can re-apply a partially-applied batch id, leaving TWO
+    metrics files for the same batch (different snapshot_id). The rollup
+    keeps only the rows of the LATEST snapshot per batch — the completed
+    application — so resumed runs produce a stable, non-double-counted
+    summary (F.first over mixed files was nondeterministic)."""
+    latest = metrics.groupBy("batch_id").agg(
+        F.max("snapshot_id").alias("snapshot_id")
+    )
+    per_batch = metrics.join(latest, ["batch_id", "snapshot_id"]).groupBy(
+        "batch_id"
+    ).agg(
+        F.min("lsn_min").alias("lsn_min"),
+        F.max("lsn_max").alias("lsn_max"),
+        F.max("snapshot_id").alias("snapshot_id"),
+        F.max("merge_latency_ms").alias("merge_latency_ms"),
         F.sum("rows_applied").alias("rows_applied"),
         F.count(F.lit(1)).alias("n_partitions"),
         F.max("rows_applied").alias("max_partition_rows"),

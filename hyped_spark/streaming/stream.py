@@ -89,7 +89,9 @@ def stream_once(spark: SparkSession, cfg: StreamConfig,
         # epoch ids are monotone across restarts (streaming checkpoint), but
         # their LSN contents need not be ordered — use the batch-id guard;
         # tombstoned LWW makes out-of-order epoch application commutative.
-        engine.apply_batch(batch_df, batch_id=int(epoch_id), guard="batch_id")
+        # stats_mode="meta": an Observation inside foreachBatch deadlocks.
+        engine.apply_batch(batch_df, batch_id=int(epoch_id), guard="batch_id",
+                           stats_mode="meta")
 
     q = (
         src.writeStream.foreachBatch(apply)

@@ -131,7 +131,9 @@ def test_span_udfs_smoke(spark):
             F.array(F.lit(3)), F.array(F.lit(9)), F.col("b"), F.col("e")
         ).alias("idx"),
     ).collect()[0]
-    assert r.kept == [0, 2]  # length tie -> lower index wins
+    # reference iterative-removal semantics: size tie -> approx drop of the
+    # most-overlapping span (idx 0), see test_spans.py parity fixtures
+    assert r.kept == [1, 2]
     assert r.spans.begins == [0, 2, 4] and r.spans.ends == [2, 4, 5]
     # query [3,9) overlaps token spans [0,5), [3,8), [8,10) -> idx span [0,3)
     assert r.idx.begins == [0] and r.idx.ends == [3]

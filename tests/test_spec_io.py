@@ -95,8 +95,15 @@ def test_typed_json_reader(spark, tmp_path):
     with pytest.raises(Exception):
         typed_json(spark, p, schema, strict=True).collect()
     lenient = typed_json(spark, p, schema, strict=False)
-    good = lenient.filter(F.col("_corrupt_record").isNull()).count()
-    assert good == 2
+    rows = lenient.select("a", "b", "_corrupt_record").collect()
+    assert sum(1 for r in rows if r["_corrupt_record"] is None) == 2
+    # error channel: no cache needed (keeps data columns in the plan)
+    from hyped_spark.sources.readers import corrupt_records
+
+    bad = corrupt_records(lenient).collect()
+    assert len(bad) == 1 and "not_a_number" in bad[0]["_corrupt_record"]
+    # permissive read must NOT pin the dataset (round-1 scale bug)
+    assert not lenient.is_cached
 
 
 def test_writers_roundtrip(spark, tmp_path):
