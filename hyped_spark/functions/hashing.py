@@ -99,21 +99,31 @@ def jaccard_col(shingles_a: Column, shingles_b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
-@F.pandas_udf(T.LongType())
-def simhash64(token_hashes: pd.Series) -> pd.Series:  # pragma: no cover
-    """64-bit SimHash from an array<long> of token hashes (numpy bit-vote)."""
+def simhash64_batch(token_hashes) -> np.ndarray:
+    """64-bit SimHash per document from ragged int64 token-hash arrays.
+
+    Deliberately a per-document numpy loop: each document's (n_tokens × 64)
+    bit matrix stays cache-resident. A batch-flattened variant
+    (concatenate + np.add.reduceat segment sums) was measured 2–24× SLOWER
+    at every chunk size (0.33s vs 0.62–11.9s for 3000×300-token docs) —
+    the flat bit matrix is memory-bandwidth-bound.
+    """
     out = np.zeros(len(token_hashes), dtype=np.int64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
     for i, hs in enumerate(token_hashes):
         if hs is None or len(hs) == 0:
             continue
-        arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+        arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
         bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
         votes = bits.sum(axis=0) * 2 - len(arr)  # +1/-1 vote per bit
-        sh = np.uint64(0)
-        for b in np.nonzero(votes > 0)[0]:
-            sh |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sh)
-    return pd.Series(out)
+        out[i] = ((votes > 0).astype(np.uint64) * weights).sum().astype(np.int64)
+    return out
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(token_hashes: pd.Series) -> pd.Series:  # pragma: no cover
+    """64-bit SimHash from an array<long> of token hashes (numpy bit-vote)."""
+    return pd.Series(simhash64_batch(token_hashes.tolist()))
 
 
 def token_hashes_col(tokens: Column) -> Column:

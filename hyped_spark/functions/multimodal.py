@@ -2,11 +2,12 @@
 
 The Spark-side plumbing is REAL and tested — schemas, Arrow batch shapes,
 ``mapInPandas`` signatures, partition sizing — while the actual codec step
-is STUBBED (this container ships no image/audio libraries): with
-``fake=True`` the decoders produce deterministic synthetic features derived
-from the payload bytes (stable across executors, good enough to exercise
-the whole pipeline); with ``fake=False`` they raise ``NotImplementedError``
-at the exact point where Pillow/ffmpeg/torchaudio would be called.
+is STUBBED (this container ships no image/audio libraries). The default
+``fake=False`` raises ``NotImplementedError`` at the exact point where
+Pillow/ffmpeg/torchaudio would be called — a pipeline can NEVER ship fake
+features silently. Passing ``fake=True`` is an explicit opt-in for
+plumbing tests: the decoders then produce deterministic synthetic features
+derived from the payload bytes (stable across executors).
 
 Scale notes: binary payloads never shuffle through these ops — decode /
 feature-extract are map-only (``mapInPandas``), so the only data movement
@@ -51,7 +52,7 @@ def _fake_decode(blob: bytes) -> tuple[int, int, float, int]:
 
 
 def decode_image_features(df: DataFrame, blob_col: str = "image",
-                          out: str = "img", fake: bool = True) -> DataFrame:
+                          out: str = "img", fake: bool = False) -> DataFrame:
     """binary blob → typed feature struct via one map-only Arrow stage."""
     out_schema = T.StructType(
         [f for f in df.schema.fields] + [T.StructField(out, IMAGE_FEATURES)]
@@ -78,7 +79,7 @@ def decode_image_features(df: DataFrame, blob_col: str = "image",
 
 
 def resize_images(df: DataFrame, blob_col: str = "image", out: str = "resized",
-                  width: int = 224, height: int = 224, fake: bool = True) -> DataFrame:
+                  width: int = 224, height: int = 224, fake: bool = False) -> DataFrame:
     """binary → binary resize (STUB codec; deterministic fake output)."""
     out_schema = T.StructType(
         [f for f in df.schema.fields] + [T.StructField(out, T.BinaryType())]
@@ -104,7 +105,7 @@ def resize_images(df: DataFrame, blob_col: str = "image", out: str = "resized",
 
 def sample_video_frames(df: DataFrame, blob_col: str = "video",
                         out: str = "frames", n_frames: int = 4,
-                        fake: bool = True) -> DataFrame:
+                        fake: bool = False) -> DataFrame:
     """video binary → array of frame blobs, 1 row → 1 row with array column
     (frame-sampling plumbing; STUB codec)."""
     out_schema = T.StructType(

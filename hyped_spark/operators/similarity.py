@@ -114,12 +114,16 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's bucket.
 
-    Recall/cost dial = n_bits (fewer bits → bigger buckets → higher recall).
-    Multi-probe (flipping one bit) is the standard extension; single-probe
-    keeps the plan to one equi-join here.
+    Recall/cost dials: ``n_bits`` (fewer bits → bigger buckets → higher
+    recall) and ``multi_probe`` (additionally probe every bucket one
+    hyperplane flip away — the standard multi-probe LSH extension). Probing
+    explodes the QUERY side only (n_bits+1 probes per query); the corpus —
+    the 100 TB side — is never duplicated, and the plan stays one
+    broadcast equi-join.
     """
     from pyspark.sql import Window
 
@@ -130,6 +134,15 @@ def lsh_topk(
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")).withColumn(
         "__bucket", sketch(F.col("__qv"))
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("__bucket"),
+            *[
+                F.col("__bucket").bitwiseXOR(F.lit(1 << b).cast("long"))
+                for b in range(n_bits)
+            ],
+        )
+        q = q.withColumn("__bucket", F.explode(probes))
     scored = c.join(F.broadcast(q), "__bucket").withColumn(
         "cosine", F.round(cosine_col(F.col("__qv"), F.col("__cv")), 6)
     )

@@ -214,14 +214,17 @@ class ReplayEngine:
         return out
 
     def apply_batch(self, events: DataFrame, batch_id: int,
-                    guard: str = "lsn", stats_mode: str = "observe") -> MergeStats:
+                    guard: str = "lsn", stats_mode: str = "observe",
+                    meta_rows: list | None = None) -> MergeStats:
         """Dedup + transform + merge + lineage for one microbatch of RAW
         change events. merge_events makes it one payload pass: a pruned
         (key, lsn) scan for guard/lineage, then a single heavy job.
-        ``stats_mode="meta"`` is for foreachBatch callers (see merge_events)."""
+        ``stats_mode="meta"`` is for foreachBatch callers (see merge_events);
+        ``meta_rows`` is the precomputed per-bucket rollup (see replay)."""
         stats = self.table.merge_events(
             events, batch_id=batch_id, guard=guard, op_col="op",
             transform=self._extract_transform, stats_mode=stats_mode,
+            meta_rows=meta_rows,
         )
         if not stats.skipped_replay:
             self._append_metrics(stats)
@@ -250,10 +253,39 @@ class ReplayEngine:
         # stable across resume (batch k always covers [k*B, (k+1)*B))
         first_batch = start // self.cfg.batch_lsns
         last_batch = hi // self.cfg.batch_lsns
+        # ONE upfront job computes every batch's per-bucket lineage rollup
+        # (guard bounds, touched buckets, raw counts): a per-batch meta job
+        # was ~0.5s of parallelism-independent overhead each — at 4 batches
+        # that alone capped N→4N scaling efficiency (BENCH/BASELINE.md).
+        from hyped_spark.lake.table import bucket_expr
+
+        B = self.cfg.batch_lsns
+        commit = self.table.current_commit()
+        n_buckets = int(commit["n_buckets"]) if commit else self.cfg.n_buckets
+        all_meta = (
+            log.filter(F.col("lsn") >= start)
+            .select(
+                F.expr(f"lsn DIV {B}").alias("__k"),  # exact integer division
+                bucket_expr("url", n_buckets).alias("__bucket"),
+                F.col("lsn"),
+            )
+            .groupBy("__k", "__bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("lsn").alias("lmin"),
+                F.max("lsn").alias("lmax"),
+            )
+            .collect()
+        )
+        meta_by_batch: dict[int, list] = {}
+        for r in all_meta:
+            meta_by_batch.setdefault(int(r["__k"]), []).append(r)
         for k in range(first_batch, last_batch + 1):
-            a = max(k * self.cfg.batch_lsns, start)
-            b = (k + 1) * self.cfg.batch_lsns
+            a = max(k * B, start)
+            b = (k + 1) * B
             batch = log.filter((F.col("lsn") >= a) & (F.col("lsn") < b))
-            stats = self.apply_batch(batch, batch_id=k)
+            stats = self.apply_batch(
+                batch, batch_id=k, meta_rows=meta_by_batch.get(k, [])
+            )
             out.append(stats)
         return out

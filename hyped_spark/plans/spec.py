@@ -162,6 +162,28 @@ def _chunk(p: dict) -> Stage:
     )
 
 
+@register("relex")
+def _relex(p: dict) -> Stage:
+    from hyped_spark.operators.spans import relex_tag
+    return lambda df: relex_tag(
+        df, p["seq_col"], p["src_begin"], p["src_end"],
+        p["tgt_begin"], p["tgt_end"], tuple(p["markers"]),
+        out_col=p.get("out", "marked_sequence"),
+        max_sequence_length=p.get("max_sequence_length"),
+        source_inclusive=p.get("source_inclusive", False),
+        target_inclusive=p.get("target_inclusive", False),
+    )
+
+
+@register("resolve_overlaps")
+def _resolve_overlaps(p: dict) -> Stage:
+    from hyped_spark.operators.spans import make_resolve_overlaps_udf
+    udf = make_resolve_overlaps_udf(p.get("strategy", "approx"))
+    return lambda df: df.withColumn(
+        p.get("out", "kept_idx"), udf(F.col(p["begins"]), F.col(p["ends"]))
+    )
+
+
 @register("repartition")
 def _repartition(p: dict) -> Stage:
     cols = [F.col(c) for c in p.get("columns", [])]

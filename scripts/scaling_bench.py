@@ -1,14 +1,18 @@
 """Scaling-efficiency evidence (BASELINE.md protocol).
 
 Runs the IDENTICAL CDC merge-apply job on IDENTICAL input at two parallelism
-levels (local[N] and local[4N]) in separate subprocesses (fresh JVM each, so
-no shared-session interference), ≥3 timed repetitions each, median reported.
+levels (local[N] and local[4N]). Every timed repetition runs in its OWN
+subprocess with a fresh JVM and a fresh tmpfs scratch dir: round-1 shared
+one JVM per level, and accumulated shuffle scratch in the fixed
+spark.local.dir degraded later repetitions by up to 45% — per-rep isolation
+measures steady state instead of tmpfs fill. Each rep warms up (JVM codegen
++ Arrow/Python worker spin-up) on a small log slice before the timed replay.
 
-    python scripts/scaling_bench.py [--n 8] [--events 120000] [--reps 3]
+    python scripts/scaling_bench.py [--n 1] [--events 4000000] [--reps 3]
 
 Writes results to BENCH/BASELINE.md and prints a JSON summary.
 The sandbox substitute for the north rule's N→4N executor criterion:
-efficiency = T(4N) / (4 × T(N)) computed on events/sec.
+efficiency = eps(4N) / (4 × eps(N)).
 """
 
 from __future__ import annotations
@@ -16,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import statistics
 import subprocess
 import sys
@@ -29,44 +34,61 @@ sys.path.insert(0, {repo!r})
 from hyped_spark.session import get_spark
 from hyped_spark.plans.replay import ReplayConfig, ReplayEngine
 
-cores = int(sys.argv[1]); log_path = sys.argv[2]; reps = int(sys.argv[3])
-batch_lsns = int(sys.argv[4]); n_buckets = int(sys.argv[5])
+cores = int(sys.argv[1]); log_path = sys.argv[2]
+batch_lsns = int(sys.argv[3]); n_buckets = int(sys.argv[4])
+scratch = sys.argv[5]
 spark = get_spark("scaling_bench", cores=cores, shuffle_partitions=2 * cores,
-                  extra_conf={{"spark.local.dir": f"/dev/shm/spark_local_{{cores}}"}})
+                  extra_conf={{"spark.local.dir": os.path.join(scratch, "sl")}})
 log = spark.read.parquet(log_path)
-results = []
-for rep in range(reps + 1):  # first is warmup
-    # tmpfs: the sandbox's single throttled virtual disk does not scale with
-    # cores (a real cluster's aggregate disk bandwidth scales with
-    # executors); RAM-backed IO isolates the compute/shuffle scaling the
-    # criterion is about. Documented in BENCH/BASELINE.md.
-    work = tempfile.mkdtemp(prefix=f"scale_{{cores}}_", dir="/dev/shm")
-    engine = ReplayEngine(spark, ReplayConfig(
-        table_path=os.path.join(work, "t"), metrics_path=os.path.join(work, "m"),
-        batch_lsns=batch_lsns, n_buckets=n_buckets, n_salt=8))
-    t0 = time.monotonic()
-    stats = engine.replay(log)
-    dt = time.monotonic() - t0
-    applied = sum(s.rows_in_batch for s in stats if not s.skipped_replay)
-    shutil.rmtree(work, ignore_errors=True)
-    if rep > 0:
-        results.append({{"sec": dt, "events": applied, "eps": applied / dt}})
-print("RESULT " + json.dumps(results))
+# tmpfs: the sandbox's single throttled virtual disk does not scale with
+# cores (a real cluster's aggregate disk bandwidth scales with executors);
+# RAM-backed IO isolates the compute/shuffle scaling the criterion is about.
+warm = ReplayEngine(spark, ReplayConfig(
+    table_path=os.path.join(scratch, "wt"), metrics_path=os.path.join(scratch, "wm"),
+    batch_lsns=batch_lsns, n_buckets=n_buckets, n_salt=8))
+warm.replay(log.filter(f"lsn < {{max(batch_lsns // 8, 1000)}}"))
+engine = ReplayEngine(spark, ReplayConfig(
+    table_path=os.path.join(scratch, "t"), metrics_path=os.path.join(scratch, "m"),
+    batch_lsns=batch_lsns, n_buckets=n_buckets, n_salt=8))
+t0 = time.monotonic()
+stats = engine.replay(log)
+dt = time.monotonic() - t0
+applied = sum(s.rows_in_batch for s in stats if not s.skipped_replay)
+print("RESULT " + json.dumps({{"sec": dt, "events": applied, "eps": applied / dt}}))
 """
 
 
 def run_level(cores: int, log_path: str, reps: int, batch_lsns: int,
               n_buckets: int) -> list[dict]:
     script = WORKER.format(repo=REPO)
-    out = subprocess.run(
-        [sys.executable, "-c", script, str(cores), log_path, str(reps),
-         str(batch_lsns), str(n_buckets)],
-        capture_output=True, text=True, timeout=3600,
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
-    raise RuntimeError(f"worker failed (cores={cores}):\n{out.stderr[-3000:]}")
+    results = []
+    # Pin the whole process tree (JVM task threads, GC threads, shuffle IO,
+    # Python UDF workers) to exactly `cores` host CPUs. Without pinning,
+    # local[1]'s JVM borrows idle host cores for GC and the Python workers —
+    # resources a real 1-core executor does NOT have — inflating the
+    # low-parallelism throughput and understating scaling efficiency.
+    pin = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"]
+    if shutil.which("taskset") is None:
+        pin = []
+    for _rep in range(reps):
+        scratch = tempfile.mkdtemp(prefix=f"scale_{cores}_", dir="/dev/shm")
+        try:
+            out = subprocess.run(
+                pin + [sys.executable, "-c", script, str(cores), log_path,
+                       str(batch_lsns), str(n_buckets), scratch],
+                capture_output=True, text=True, timeout=3600,
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith("RESULT "):
+                    results.append(json.loads(line[len("RESULT "):]))
+                    break
+            else:
+                raise RuntimeError(
+                    f"worker failed (cores={cores}):\n{out.stderr[-3000:]}"
+                )
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+    return results
 
 
 def main() -> None:
@@ -99,10 +121,7 @@ def main() -> None:
         lo = run_level(args.n, log_path, args.reps, args.batch_lsns, args.buckets)
         hi = run_level(args.n * 4, log_path, args.reps, args.batch_lsns, args.buckets)
     finally:
-        import shutil
         shutil.rmtree(gen, ignore_errors=True)
-        for c in (args.n, args.n * 4):
-            shutil.rmtree(f"/dev/shm/spark_local_{c}", ignore_errors=True)
 
     eps_lo = statistics.median(r["eps"] for r in lo)
     eps_hi = statistics.median(r["eps"] for r in hi)
@@ -126,10 +145,17 @@ def main() -> None:
 ## Scaling efficiency (north-rule criterion, sandbox protocol)
 
 Identical CDC merge-apply job (LSN-chunked replay of a deterministic
-{args.events:,}-event binlog over {args.urls:,} urls, salted LWW dedup +
-vectorized text extraction + bucketed copy-on-write merge) on identical
-input at two parallelism levels, fresh JVM per level, warmup discarded,
-median of {args.reps} reps.
+{args.events:,}-event binlog over {args.urls:,} urls: window-rank LWW dedup
++ vectorized text extraction + bucketed copy-on-write merge) on identical
+input at two parallelism levels. Fresh JVM AND fresh tmpfs scratch dir per
+repetition (a shared scratch dir accumulated shuffle files and degraded
+later reps up to 45% — per-rep isolation measures steady state); per-rep
+warmup replay discarded; median of {args.reps} reps. Each level is pinned
+(taskset) to exactly N host CPUs so JVM GC, shuffle IO, and Python UDF
+workers share the same N cores they would own on an N-core executor —
+unpinned, local[1] borrows idle host cores for GC/Python (resources a
+1-core executor does not have), inflating eps(N) and understating the
+efficiency a real cluster would show.
 
 | level | cores | median sec | median events/sec |
 |---|---|---|---|
@@ -154,13 +180,19 @@ All repetitions (sec, events/sec):
 ## Extrapolation to 10^10 events (documented method)
 
 The replay loop cost is per-batch fixed overhead (snapshot commit, bucket
-manifest, ~10 Spark jobs) + per-event work (UDF extraction, shuffle,
-parquet IO). At 10^10 events with batches of 10^8 LSNs the fixed overhead
-amortizes to noise; per-event cost scales with executors because every
-stage (scan, dedup aggregation, bucket rewrite) is key- or range-partitioned
-with no driver-side data movement (collects are metadata-only: per-bucket
-counts). The measured single-node events/sec x executor count, derated by
-the measured scaling efficiency, is the projected cluster throughput.
+manifest, 2 Spark jobs: a <=n_buckets-group meta aggregate and the single
+merge/write job carrying the Observation lineage side-output) + per-event
+work (UDF extraction, shuffle, parquet IO). At 10^10 events with batches of
+10^8 LSNs the fixed overhead amortizes to noise; per-event cost scales with
+executors because every stage (scan, dedup window, bucket rewrite) is key-
+or range-partitioned with no driver-side data movement (collects are
+metadata-only: per-bucket counts). One sandbox caveat the cluster does not
+share: all N local threads compete for ONE machine's memory bandwidth
+(shuffle + Arrow + parquet encode are bandwidth-hungry), so the measured
+efficiency UNDERSTATES multi-node scaling, where each executor brings its
+own memory channels. The measured single-node events/sec x executor count,
+derated by the measured scaling efficiency, is the projected cluster
+throughput.
 """)
 
 

@@ -91,6 +91,34 @@ def test_lsh_topk_recall_vs_brute_force(spark):
         assert q == v, f"query {q} should be its own nearest neighbor, got {v}"
 
 
+def test_lsh_topk_multi_probe_recall(spark):
+    """Multi-probe must dominate single-probe recall at the same n_bits
+    (it probes a strict superset of buckets) while never inventing hits."""
+    from hyped_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 5
+    exact = {(r.query_id, r.vec_id)
+             for r in brute_force_topk(emb, queries, k=k).collect()}
+    single = {(r.query_id, r.vec_id)
+              for r in lsh_topk(emb, queries, dim=dim, k=k, n_bits=8).collect()}
+    multi = {(r.query_id, r.vec_id)
+             for r in lsh_topk(emb, queries, dim=dim, k=k, n_bits=8,
+                               multi_probe=True).collect()}
+    rec_s = len(single & exact) / len(exact)
+    rec_m = len(multi & exact) / len(exact)
+    assert rec_m >= rec_s, (rec_m, rec_s)
+    # duplicate-probe safety: at most one row per (query, corpus) pair
+    rows = lsh_topk(emb, queries, dim=dim, k=50, n_bits=8,
+                    multi_probe=True).collect()
+    pairs = [(r.query_id, r.vec_id) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
 def test_asof_and_range_join_smoke(spark):
     """Spark-side smoke of the join operators (full oracle parity is in
     test_oracle_parity)."""

@@ -107,6 +107,34 @@ def test_idempotent_replay_and_resume(spark, tmp_path, log_pdf):
     )
 
 
+def test_precomputed_meta_matches_internal(spark, tmp_path, log_pdf):
+    """replay()'s single upfront lineage job must yield batch stats identical
+    to merge_events' own per-batch meta aggregation."""
+    from hyped_spark.lake.table import SnapshotTable
+    from hyped_spark.plans.replay import target_schema
+
+    log_df = binlog(spark, 1_000, 80)
+    eng = ReplayEngine(
+        spark,
+        ReplayConfig(
+            table_path=str(tmp_path / "a"), metrics_path=str(tmp_path / "am"),
+            batch_lsns=300, n_buckets=8, n_salt=4,
+        ),
+    )
+    via_replay = eng.replay(log_df)
+
+    manual_table = SnapshotTable(spark, str(tmp_path / "b"), n_buckets=8)
+    manual_table.init_empty(target_schema())
+    manual = []
+    for k in range(4):
+        batch = log_df.filter(f"lsn >= {k * 300} and lsn < {(k + 1) * 300}")
+        manual.append(manual_table.merge_events(batch, batch_id=k))
+    for a, b in zip(via_replay, manual):
+        assert (a.lsn_min, a.lsn_max, a.rows_in_batch, a.buckets_touched) == \
+               (b.lsn_min, b.lsn_max, b.rows_in_batch, b.buckets_touched)
+        assert a.bucket_rows == b.bucket_rows
+
+
 def test_crash_resume_mid_log(spark, tmp_path, log_pdf):
     """Apply the first half, 'crash', resume with the full log → same state."""
     log_df = binlog(spark, N_EVENTS, N_URLS)

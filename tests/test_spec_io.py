@@ -184,17 +184,22 @@ def test_multimodal_plumbing(spark):
         [(1, b"imagebytes-1"), (2, b"imagebytes-2"), (3, None)],
         "id long, image binary",
     )
-    feats = decode_image_features(df, "image", "img").collect()
+    feats = decode_image_features(df, "image", "img", fake=True).collect()
     by_id = {r.id: r.img for r in feats}
     assert by_id[3] is None
     assert 64 <= by_id[1].width < 256 and isinstance(by_id[1].phash, int)
     # determinism: same bytes -> same features
-    again = {r.id: r.img for r in decode_image_features(df, "image", "img").collect()}
+    again = {r.id: r.img for r in decode_image_features(df, "image", "img", fake=True).collect()}
     assert again == by_id
 
-    resized = resize_images(df, "image").collect()
+    resized = resize_images(df, "image", fake=True).collect()
     assert {len(r.resized) for r in resized if r.resized} == {128}
 
     vid = spark.createDataFrame([(1, b"videobytes")], "id long, video binary")
-    frames = sample_video_frames(vid, "video", n_frames=3).collect()[0].frames
+    frames = sample_video_frames(vid, "video", n_frames=3, fake=True).collect()[0].frames
     assert len(frames) == 3 and len(set(bytes(f) for f in frames)) == 3
+
+    # the default is the REAL codec path, which must fail loudly in this
+    # container — fake features require an explicit opt-in (fake=True)
+    with pytest.raises(Exception, match="NotImplementedError|image"):
+        decode_image_features(df, "image", "img").collect()
