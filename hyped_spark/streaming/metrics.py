@@ -68,6 +68,62 @@ def lineage_check(metrics: DataFrame) -> dict:
     }
 
 
+class ThroughputMeter:
+    """Live events/sec meter for streaming queries — the Spark-native
+    analogue of the reference consumer's EMA examples/sec display
+    (/root/reference/src/hyped/common/consumer.py:240-285).
+
+    Attach with ``spark.streams.addListener(meter.listener())``; each epoch
+    updates ``rows_total``, instantaneous ``rows_per_sec``, and an EMA with
+    the same smoothing role as the reference's tqdm meter. ``history`` keeps
+    one record per epoch for post-run inspection.
+    """
+
+    def __init__(self, alpha: float = 0.3):
+        self.alpha = alpha
+        self.rows_total = 0
+        self.rows_per_sec = 0.0
+        self.ema_rows_per_sec: float | None = None
+        self.history: list[dict] = []
+
+    def _update(self, batch_id: int, n_rows: int, rps: float) -> None:
+        self.rows_total += n_rows
+        self.rows_per_sec = rps
+        self.ema_rows_per_sec = (
+            rps if self.ema_rows_per_sec is None
+            else self.alpha * rps + (1 - self.alpha) * self.ema_rows_per_sec
+        )
+        self.history.append({
+            "batch_id": batch_id, "rows": n_rows, "rows_per_sec": rps,
+            "ema_rows_per_sec": self.ema_rows_per_sec,
+            "rows_total": self.rows_total,
+        })
+
+    def listener(self):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        meter = self
+
+        class _Listener(StreamingQueryListener):
+            def onQueryStarted(self, event):  # pragma: no cover (callback)
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                meter._update(
+                    int(p.batchId), int(p.numInputRows),
+                    float(p.processedRowsPerSecond or 0.0),
+                )
+
+            def onQueryIdle(self, event):  # pragma: no cover (callback)
+                pass
+
+            def onQueryTerminated(self, event):  # pragma: no cover (callback)
+                pass
+
+        return _Listener()
+
+
 def observe(df: DataFrame, name: str, **aggs) -> tuple[DataFrame, Observation]:
     """Attach named aggregates as a side-output of whatever job consumes
     ``df`` next (≙ hyped statistics: same pass, no extra scan)::

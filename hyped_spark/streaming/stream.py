@@ -90,8 +90,16 @@ def stream_once(spark: SparkSession, cfg: StreamConfig,
         # their LSN contents need not be ordered — use the batch-id guard;
         # tombstoned LWW makes out-of-order epoch application commutative.
         # stats_mode="meta": an Observation inside foreachBatch deadlocks.
-        engine.apply_batch(batch_df, batch_id=int(epoch_id), guard="batch_id",
-                           stats_mode="meta")
+        # persist: the meta pre-job and the heavy merge job both consume the
+        # epoch frame — unpersisted, each re-reads the epoch's source files
+        # (2x source IO, and the input-rows meter double-counts). One
+        # epoch's data is bounded by maxFilesPerTrigger, so caching is safe.
+        batch_df.persist()
+        try:
+            engine.apply_batch(batch_df, batch_id=int(epoch_id),
+                               guard="batch_id", stats_mode="meta")
+        finally:
+            batch_df.unpersist()
 
     q = (
         src.writeStream.foreachBatch(apply)

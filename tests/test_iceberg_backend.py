@@ -42,6 +42,25 @@ def test_watermark_roundtrip():
     assert read_watermark([Row(key="other", value="x")]) == (-1, -1)
 
 
+def test_evolution_sql():
+    from pyspark.sql import types as T
+
+    from hyped_spark.lake.iceberg_backend import evolution_sql
+    from hyped_spark.schema import SchemaDiff
+
+    diff = SchemaDiff(
+        added=[T.StructField("fetch_status", T.LongType()),
+               T.StructField("etag", T.StringType())],
+        widened=[("retries", T.IntegerType(), T.LongType())],
+    )
+    stmts = evolution_sql("lake.db.pages", diff)
+    assert stmts == [
+        "ALTER TABLE lake.db.pages ADD COLUMNS (fetch_status bigint, etag string)",
+        "ALTER TABLE lake.db.pages ALTER COLUMN retries TYPE bigint",
+    ]
+    assert evolution_sql("t", SchemaDiff()) == []
+
+
 def test_build_merge_source_lww_and_tombstones(spark):
     events = spark.createDataFrame(
         [

@@ -32,9 +32,30 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def test_stream_drain_matches_reference(spark, tmp_path):
+    from hyped_spark.streaming.metrics import ThroughputMeter
+
     cfg = _cfg(tmp_path)
     write_binlog_segments(spark, cfg.source_dir, N_EVENTS, N_URLS)
-    engine = run_stream(spark, cfg)
+    meter = ThroughputMeter()
+    listener = meter.listener()
+    spark.streams.addListener(listener)
+    try:
+        engine = run_stream(spark, cfg)
+        # listener events are delivered asynchronously — wait for the tail
+        import time
+
+        deadline = time.monotonic() + 30
+        while meter.rows_total < N_EVENTS and time.monotonic() < deadline:
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+
+    # live throughput meter (S6 analogue): every epoch recorded, totals add
+    # up exactly (the persist in stream.apply also makes numInputRows 1x —
+    # unpersisted, the meta + merge passes each rescan the epoch's files)
+    assert meter.rows_total == N_EVENTS
+    assert meter.history and meter.ema_rows_per_sec is not None
+    assert all(h["rows_per_sec"] >= 0 for h in meter.history)
 
     ref = replay_reference(binlog(spark, N_EVENTS, N_URLS).toPandas())
     got = engine.table.read().toPandas()
