@@ -379,6 +379,21 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, dim=dim, k=5, n_bits=6)
 
 
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means inverted file) approximate top-k — the second ANN scale
+    path next to LSH. No SQL oracle (k-means training isn't expressible);
+    quality is pytest-verified (self-match, exact-cosine subset)."""
+    from hyped_spark.operators.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_lists=8, n_probe=2)
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane LSH buckets.
 
@@ -522,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_docs": simhash_pairs_docs,
         "ann_topk_cosine": ann_topk_cosine,
         "ann_topk_lsh": ann_topk_lsh,
+        "ann_topk_ivf": ann_topk_ivf,
         "embedding_neardup": embedding_neardup,
         "seq_val_hist": seq_val_hist,
         "disc_seq_val_hist": disc_seq_val_hist,
@@ -769,6 +785,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "quality_scores": _quality_oracle(),
+        "ann_topk_lsh": _ann_lsh_oracle(dim=64, n_bits=6, k=5),
         # fixed spans (1,3)/(5,8), no truncation: marker insertion is pure
         # list surgery, so the oracle is the explicit slice concatenation
         "relex_mark_docs": """
@@ -838,6 +855,41 @@ def _jaccard_oracle(min_jaccard: float) -> str:
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
               / len(list_distinct(list_concat(a.shingles, b.shingles))) >= {min_jaccard}
+    """
+
+
+def _ann_lsh_oracle(dim: int = 64, n_bits: int = 6, k: int = 5) -> str:
+    """DuckDB twin of lsh_topk: the hyperplane matrix is deterministic
+    (seeded SHA stream), so it can be EMBEDDED as ±1.0 literals — the oracle
+    reproduces the bucket assignment bit-for-bit, then brute-forces cosine
+    rank within each bucket, same as the Spark plan."""
+    from hyped_spark.operators.similarity import _hyperplanes
+
+    H = _hyperplanes(dim, n_bits, seed=42)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(f'{x:.1f}' for x in row)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, row in enumerate(H)
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), b AS (
+            SELECT vec_id, e, ({bits}) AS bucket FROM v
+        ), q AS (
+            SELECT vec_id AS query_id, e AS qe, bucket FROM b WHERE vec_id < 8
+        ), scored AS (
+            SELECT q.query_id, b.vec_id,
+                   round(list_dot_product(q.qe, b.e) /
+                         (sqrt(list_dot_product(q.qe, q.qe)) *
+                          sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+            FROM b JOIN q ON b.bucket = q.bucket
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
     """
 
 

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "simhash_pairs_docs",
     "ann_topk_cosine",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "embedding_neardup",
     "relex_mark_docs",
     "seq_val_hist",

@@ -38,8 +38,12 @@ from hyped_spark.operators.common import spread
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Keep one representative (min id) per exact normalized-text fingerprint."""
-    keyed = spread(df).withColumn("__fp", fingerprint_col(F.col(text_col)))
+    """Keep one representative (min id) per exact normalized-text fingerprint.
+
+    No spread() here: fingerprinting is one cheap native pass, and the
+    fan-out shuffle measured 2.5x slower than just computing in place
+    (unlike shingling/sketching, where spread pays for itself)."""
+    keyed = df.withColumn("__fp", fingerprint_col(F.col(text_col)))
     reps = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     # semi-join back to recover full rows of the representatives only
     return keyed.join(reps, [id_col, "__fp"], "left_semi").drop("__fp")

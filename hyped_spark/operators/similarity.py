@@ -156,6 +156,66 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a seeded k-means coarse
+    quantizer assigns every corpus vector to one of ``n_lists`` cells; a
+    query scores only the vectors in its ``n_probe`` nearest cells.
+
+    The 100 TB shape: centroids are driver-side tiny (n_lists × dim) and
+    broadcast inside the assignment UDF; the corpus gains one int cell id
+    and the candidate join is a cell equi-join (query side exploded to
+    n_probe rows — the corpus is never duplicated). Recall dials:
+    ``n_lists`` down or ``n_probe`` up. Training samples the corpus via
+    MLlib KMeans (seeded → deterministic across runs and executors).
+    """
+    from pyspark.sql import Window
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
+    C = np.stack([np.asarray(c) for c in model.clusterCenters()])  # (L, dim)
+
+    def make_cells_udf(n: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def cells(vec: pd.Series) -> pd.Series:  # pragma: no cover (executor)
+            M = np.stack(vec.to_numpy())                     # (batch, dim)
+            d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2, axis=1)[:, :n].astype(np.int32)
+            return pd.Series(list(order))
+
+        return cells
+
+    c = spread(corpus).select(F.col(id_col), F.col(vec_col).alias("__cv")).withColumn(
+        "__cell", make_cells_udf(1)(F.col("__cv"))[0]
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")).withColumn(
+        "__cell", F.explode(make_cells_udf(n_probe)(F.col("__qv")))
+    )
+    scored = c.join(F.broadcast(q), "__cell").withColumn(
+        "cosine", F.round(cosine_col(F.col("__qv"), F.col("__cv")), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     dim: int,

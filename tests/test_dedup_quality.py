@@ -91,6 +91,32 @@ def test_lsh_topk_recall_vs_brute_force(spark):
         assert q == v, f"query {q} should be its own nearest neighbor, got {v}"
 
 
+def test_ivf_topk_quality(spark):
+    """IVF ANN: deterministic across runs, self-match survives, and every
+    returned cosine equals the exact kernel's value."""
+    from hyped_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=2)
+    rows = a.collect()
+    assert rows
+    # deterministic (seeded k-means + seeded assignment)
+    again = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=2).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # self-match: the query's own cell is always its nearest -> rank 1 = self
+    top1 = {r.query_id: r.vec_id for r in rows if r.rank == 1}
+    assert all(q == v for q, v in top1.items())
+    # cosine values must agree with the exact kernel for returned pairs
+    exact = {(r.query_id, r.vec_id): r.cosine
+             for r in brute_force_topk(emb, queries, k=50).collect()}
+    for r in rows:
+        if (r.query_id, r.vec_id) in exact:
+            assert abs(exact[(r.query_id, r.vec_id)] - r.cosine) < 1e-9
+
+
 def test_lsh_topk_multi_probe_recall(spark):
     """Multi-probe must dominate single-probe recall at the same n_bits
     (it probes a strict superset of buckets) while never inventing hits."""
