@@ -222,13 +222,33 @@ class SourceSpec:
 
 
 @dataclass
+class CdcSpec:
+    """Declarative CDC sink: where the transformed change stream lands.
+
+    The reimagined north-star surface: a JSON document fully describes a
+    binlog→lakehouse ingest job (source + transform stages + this sink) and
+    compiles to the ReplayEngine — the same way the reference's pydantic
+    configs compile to a DataPipe."""
+
+    table_path: str
+    metrics_path: str
+    key: str = "url"
+    ord_col: str = "lsn"
+    batch_lsns: int = 100_000
+    n_buckets: int = 16
+    derived_columns: bool = False
+
+
+@dataclass
 class PipelineSpec:
-    """source → ordered stages; JSON-round-trippable; nestable (a stage may
-    be another pipeline, ≙ DataPipe-in-DataPipe, reference pipe.py:39-61)."""
+    """source → ordered stages → optional CDC sink; JSON-round-trippable;
+    nestable (a stage may be another pipeline, ≙ DataPipe-in-DataPipe,
+    reference pipe.py:39-61)."""
 
     source: SourceSpec | None
     stages: list[dict]               # [{"op": name, **params} | {"pipeline": [...]}]
     name: str = "pipeline"
+    cdc: CdcSpec | None = None
 
     # -- (de)serialization ---------------------------------------------------
 
@@ -237,12 +257,21 @@ class PipelineSpec:
             "format": self.source.format, "path": self.source.path,
             "schema": self.source.schema, "options": self.source.options,
         }
-        return json.dumps({"name": self.name, "source": src, "stages": self.stages})
+        cdc = None if self.cdc is None else {
+            "table_path": self.cdc.table_path,
+            "metrics_path": self.cdc.metrics_path,
+            "key": self.cdc.key, "ord_col": self.cdc.ord_col,
+            "batch_lsns": self.cdc.batch_lsns, "n_buckets": self.cdc.n_buckets,
+            "derived_columns": self.cdc.derived_columns,
+        }
+        return json.dumps({"name": self.name, "source": src,
+                           "stages": self.stages, "cdc": cdc})
 
     @classmethod
     def from_json(cls, s: str) -> "PipelineSpec":
         d = json.loads(s)
         src = d.get("source")
+        cdc = d.get("cdc")
         return cls(
             source=None if src is None else SourceSpec(
                 format=src["format"], path=src["path"],
@@ -250,7 +279,31 @@ class PipelineSpec:
             ),
             stages=d["stages"],
             name=d.get("name", "pipeline"),
+            cdc=None if cdc is None else CdcSpec(**cdc),
         )
+
+    # -- CDC job --------------------------------------------------------------
+
+    def run_cdc(self, spark: SparkSession):
+        """Compile and RUN the declarative CDC ingest job: load the change
+        log, apply the transform stages, replay into the snapshot table.
+        Returns the ReplayEngine (table + metrics handles)."""
+        from hyped_spark.plans.replay import ReplayConfig, ReplayEngine
+
+        if self.cdc is None:
+            raise ValueError("pipeline has no cdc sink spec")
+        if self.source is None:
+            raise ValueError("cdc pipeline needs a source")
+        log = self.transform(self.source.load(spark))
+        engine = ReplayEngine(spark, ReplayConfig(
+            table_path=self.cdc.table_path,
+            metrics_path=self.cdc.metrics_path,
+            batch_lsns=self.cdc.batch_lsns,
+            n_buckets=self.cdc.n_buckets,
+            derived_columns=self.cdc.derived_columns,
+        ))
+        engine.replay(log)
+        return engine
 
     # -- compile / prepare ----------------------------------------------------
 

@@ -94,11 +94,35 @@ def main() -> None:
          len(re.findall(r"\(\d+\) WindowGroupLimit", p)) >= 1),
     ]))
 
-    # 6. minhash LSH: signatures computed pre-shuffle, join on bands
+    # 6. minhash LSH: slim band self-join (ids only), shingles joined back
     p = plan_of(q["minhash_pairs_docs"](spark, SF))
     sections.append(("minhash_pairs_docs (LSH bucket join)", p, [
         ("no cartesian product", "CartesianProduct" not in p),
         ("hash join on band buckets", "Join" in p),
+    ]))
+
+    # 7. the CDC merge heavy job (mirrors SnapshotTable.merge_events'
+    # union → repartition(__bucket) → window-rank → extract → write shape,
+    # lake/table.py): ONE exchange total, losers dropped during the sort
+    # (WindowGroupLimit), extraction Arrow-vectorized.
+    from hyped_spark.lake.table import bucket_expr
+    from hyped_spark.functions.text import extract_text
+    from pyspark.sql import Window
+    ev = binlog(spark, 2000, 150).withColumn("__tomb", F.col("op") == "delete")
+    cur = ev.limit(0)  # empty current side, same schema
+    un = ev.unionByName(cur).withColumn("__bucket", bucket_expr("url", 16))
+    w = Window.partitionBy("__bucket", F.xxhash64(F.col("url")), "url").orderBy(F.col("lsn").desc())
+    surv = (un.repartition(16, F.col("__bucket"))
+            .withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn("text", extract_text(F.when(F.col("op") == "update", F.col("html")))))
+    p = plan_of(surv)
+    sections.append(("CDC merge heavy job (union → bucket shuffle → window-rank LWW)", p, [
+        ("exactly ONE exchange (payload shuffles once)",
+         len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+        ("LWW losers dropped during the sort (WindowGroupLimit)",
+         "WindowGroupLimit" in p),
+        ("extraction is Arrow-vectorized", "ArrowEvalPython" in p),
     ]))
 
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)\n"]

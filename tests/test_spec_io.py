@@ -75,6 +75,38 @@ def test_pipeline_spec_cdc_stages(spark):
     assert out.groupBy("url").count().agg(F.max("count")).collect()[0][0] == 1
 
 
+def test_pipeline_spec_cdc_sink(spark, tmp_path):
+    """A JSON document end-to-end: source + filter stage + CDC sink replays
+    into a snapshot table identical to driving ReplayEngine directly."""
+    from hyped_spark.plans.replay import ReplayConfig, ReplayEngine
+    from hyped_spark.plans.spec import CdcSpec, PipelineSpec, SourceSpec
+    from hyped_spark.sources.synthetic import binlog
+
+    log_path = str(tmp_path / "log")
+    binlog(spark, 800, 60).write.parquet(log_path)
+
+    spec = PipelineSpec(
+        source=SourceSpec(format="parquet", path=log_path),
+        stages=[{"op": "filter", "condition": "op != 'noop'"}],
+        cdc=CdcSpec(table_path=str(tmp_path / "t"),
+                    metrics_path=str(tmp_path / "m"),
+                    batch_lsns=300, n_buckets=8),
+        name="cdc_job",
+    )
+    spec2 = PipelineSpec.from_json(spec.to_json())  # JSON round-trip
+    assert spec2.to_json() == spec.to_json()
+    engine = spec2.run_cdc(spark)
+
+    direct = ReplayEngine(spark, ReplayConfig(
+        table_path=str(tmp_path / "t2"), metrics_path=str(tmp_path / "m2"),
+        batch_lsns=300, n_buckets=8))
+    direct.replay(spark.read.parquet(log_path))
+
+    a = engine.table.read().orderBy("url").toPandas()
+    b = direct.table.read().orderBy("url").toPandas()
+    assert a.equals(b)
+
+
 # ---------------- typed IO ----------------
 
 
