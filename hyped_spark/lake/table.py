@@ -312,6 +312,7 @@ class SnapshotTable:
         transform=None,
         stats_mode: str = "observe",
         meta_rows: list | None = None,
+        pre_reduce: str | None = None,
     ) -> MergeStats:
         """Idempotent LWW MERGE of a change batch — ONE pass over the payload.
 
@@ -359,11 +360,24 @@ class SnapshotTable:
                       across epochs doesn't matter: tombstoned LWW is
                       commutative — each batch applied exactly once.
 
+        ``pre_reduce="salted"`` — hot-key escape hatch: when a single key can
+        dominate a microbatch (one url re-crawled millions of times), the
+        window-rank funnels ALL its copies into one bucket partition's sort.
+        The salted two-phase reduce (operators/lww.py) collapses the batch
+        side to ≤ n_salt rows per key BEFORE the merge shuffle, spreading
+        the hot key over many reducers. Off by default: on non-pathological
+        batches it measured 5-7x slower than letting the single sort handle
+        the duplicates (r1 measurements, scripts/dedup_shape_bench.py).
+        Lineage (rows_in_batch, bucket_rows) still reflects the RAW events:
+        the light meta job runs on the un-reduced input.
+
         Deletes persist as tombstones (see module header) which is what makes
         the out-of-order case safe.
         """
         t0 = time.monotonic()
         phases: dict[str, int] = {}
+        if pre_reduce not in (None, "salted"):
+            raise ValueError(f"unknown pre_reduce {pre_reduce!r}")
         cur_version = self.current_version()
         if cur_version < 0:
             raise ValueError("call init_empty(schema) before merging")
@@ -446,6 +460,11 @@ class SnapshotTable:
                               rows_in_batch, 0, 0, 0, 0,
                               int((time.monotonic() - t0) * 1000),
                               skipped_replay=True, phases=phases)
+
+        if pre_reduce == "salted":
+            from hyped_spark.operators.lww import lww_dedup_salted
+
+            events = lww_dedup_salted(events, key=self.key, ord_col=self.ord_col)
 
         # ---- schema evolution (transactional: lands in the same commit).
         # __-prefixed columns are engine metadata, never table schema.

@@ -21,6 +21,30 @@ def test_concurrent_commit_single_winner(spark, tmp_path):
     assert t.current_version() == 1
 
 
+def test_salted_pre_reduce_equivalence(spark, tmp_path):
+    """pre_reduce='salted' (the hot-key escape hatch) must produce the same
+    final state as the default single-sort path, with raw lineage counts."""
+    from hyped_spark.sources.synthetic import binlog
+
+    # hot_pct=60 on 2 urls: a genuinely skewed batch
+    log = binlog(spark, 600, 40, hot_urls=2, hot_pct=60)
+    a = SnapshotTable(spark, str(tmp_path / "a"), n_buckets=4)
+    a.init_empty(target_schema())
+    sa = a.merge_events(log, batch_id=0)
+    b = SnapshotTable(spark, str(tmp_path / "b"), n_buckets=4)
+    b.init_empty(target_schema())
+    sb = b.merge_events(log, batch_id=0, pre_reduce="salted")
+
+    assert sb.rows_in_batch == sa.rows_in_batch == 600  # raw lineage
+    assert sb.bucket_rows == sa.bucket_rows
+    ra = a.read().orderBy("url").toPandas()
+    rb = b.read().orderBy("url").toPandas()
+    assert ra.equals(rb)
+
+    with pytest.raises(ValueError, match="pre_reduce"):
+        a.merge_events(log, batch_id=1, pre_reduce="bogus")
+
+
 def test_guard_watermarks_monotone(spark, tmp_path):
     """Summary lsn_max / batch_id are high-watermarks: they never move
     backwards even when epochs commit out of LSN order."""

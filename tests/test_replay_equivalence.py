@@ -107,6 +107,36 @@ def test_idempotent_replay_and_resume(spark, tmp_path, log_pdf):
     )
 
 
+def test_derived_columns_values(spark, tmp_path, log_pdf):
+    """derived_columns=True: the ingest-time analysis columns must equal the
+    same native functions applied to the final table's text after the fact."""
+    from pyspark.sql import functions as F
+
+    from hyped_spark.functions.text import (
+        fingerprint_col, lang_id_col, quality_score_col, token_count_col,
+    )
+
+    log_df = binlog(spark, 800, 60)
+    eng = ReplayEngine(
+        spark,
+        ReplayConfig(
+            table_path=str(tmp_path / "t"), metrics_path=str(tmp_path / "m"),
+            batch_lsns=300, n_buckets=8, n_salt=4, derived_columns=True,
+        ),
+    )
+    eng.replay(log_df)
+    t = eng.table.read()
+    assert {"fingerprint", "quality", "n_tokens", "lang_guess"} <= set(t.columns)
+    mism = t.filter(
+        (F.col("fingerprint") != fingerprint_col(F.col("text")))
+        | (F.col("quality") != quality_score_col(F.col("text")))
+        | (F.col("n_tokens") != token_count_col(F.col("text")).cast("int"))
+        | (F.col("lang_guess") != lang_id_col(F.col("text")))
+    ).count()
+    assert mism == 0
+    assert t.filter(F.col("fingerprint").isNull() & F.col("text").isNotNull()).count() == 0
+
+
 def test_precomputed_meta_matches_internal(spark, tmp_path, log_pdf):
     """replay()'s single upfront lineage job must yield batch stats identical
     to merge_events' own per-batch meta aggregation."""
