@@ -263,6 +263,31 @@ class SnapshotTable:
                 pass
         return removed
 
+    def rollback(self, to_version: int) -> int:
+        """Roll the table back to an earlier snapshot (≙ Iceberg
+        rollback_to_snapshot): commits a NEW version whose manifest and
+        schema are the target's, so history stays append-only and the
+        rollback itself is an auditable commit. The summary watermarks
+        (lsn_max / batch_id) revert with it — subsequent replay re-applies
+        from the rolled-back point."""
+        cur = self.current_version()
+        if not 0 <= to_version <= cur:
+            raise ValueError(f"cannot roll back to v{to_version} (current v{cur})")
+        target = self._read_commit(to_version)
+        new_version = cur + 1
+        self._commit(new_version, {
+            "snapshot_id": new_version,
+            "parent": cur,
+            "schemas": target["schemas"],
+            "buckets": target["buckets"],
+            "n_buckets": target["n_buckets"],
+            "key": target["key"],
+            "ord_col": target["ord_col"],
+            "summary": dict(target["summary"], operation="rollback",
+                            rolled_back_to=to_version),
+        })
+        return new_version
+
     def compact(self) -> int:
         """Rewrite every bucket into one fresh snapshot: merges the
         schema-group fragmentation, drops tombstones (GC — safe once no

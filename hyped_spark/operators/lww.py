@@ -17,10 +17,12 @@ Two physical strategies, same logical result:
                              one url can dominate a microbatch (north rule
                              skew requirement).
 
-Both use ``max_by``-style struct-max aggregation rather than a sort where
-possible: ``max(struct(ord, payload))`` is a partial-aggregatable hash
-aggregate (map-side combine), strictly cheaper at scale than a full
-window sort.
+Plus two aggregation forms (``lww_dedup_agg``, ``lww_dedup_maxjoin``) with
+measured trade-offs documented on each. The merge engine itself
+(lake/table.py) uses a bucket-partitioned window rank — the bucket exchange
+doubles as table placement and WindowGroupLimit drops losers during the
+sort; ``lww_dedup_salted`` is its hot-key pre-reduce
+(merge_events(pre_reduce="salted")).
 """
 
 from __future__ import annotations

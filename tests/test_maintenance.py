@@ -12,6 +12,37 @@ from hyped_spark.sources.synthetic import binlog
 from tests.replayer import replay_reference
 
 
+def test_rollback(spark, tmp_path):
+    """Rollback re-points the table at an earlier snapshot via a NEW commit;
+    the watermark reverts, so replay re-applies the rolled-back range."""
+    import pytest
+
+    log = binlog(spark, 800, 60)
+    eng = ReplayEngine(
+        spark,
+        ReplayConfig(table_path=str(tmp_path / "t"), metrics_path=str(tmp_path / "m"),
+                     batch_lsns=200, n_buckets=4, n_salt=4),
+    )
+    eng.replay(log)
+    t = eng.table
+    v_mid = 2  # state after batch 1 (v0 = create, v1/v2 = batches 0/1)
+    mid_state = t.read(version=v_mid).orderBy("url").toPandas()
+    v_final = t.current_version()
+    final_state = t.read().orderBy("url").toPandas()
+
+    v_rb = t.rollback(v_mid)
+    assert v_rb == v_final + 1  # append-only history
+    assert t.read().orderBy("url").toPandas().equals(mid_state)
+    assert t.last_committed_lsn() == 399  # watermark reverted with it
+
+    # replaying the log re-applies batches 2..3 and converges to final state
+    eng.replay(log)
+    assert t.read().orderBy("url").toPandas().equals(final_state)
+
+    with pytest.raises(ValueError):
+        t.rollback(10_000)
+
+
 def test_expire_and_compact(spark, tmp_path):
     log = binlog(spark, 1_000, 80)
     eng = ReplayEngine(
