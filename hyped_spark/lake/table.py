@@ -158,6 +158,29 @@ class SnapshotTable:
 
     # ---------------- read path ----------------
 
+    @staticmethod
+    def _frags(info) -> list[dict]:
+        """Normalize a manifest bucket entry: COW writes a single fragment
+        dict; MOR appends fragments as a list. Readers see a list either way."""
+        return info if isinstance(info, list) else [info]
+
+    def _needs_resolve(self, commit: dict) -> bool:
+        return any(len(self._frags(i)) > 1 for i in commit["buckets"].values())
+
+    def _resolve_lww(self, df: DataFrame) -> DataFrame:
+        """Read-side LWW across MOR fragments: latest row per key wins
+        (same window shape as the merge; hash-prefixed sort keys)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.xxhash64(F.col(self.key)), self.key).orderBy(
+            F.col(self.ord_col).desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
     def read(self, version: int | None = None) -> DataFrame:
         """Current (or time-travel) table state as a DataFrame.
 
@@ -165,15 +188,24 @@ class SnapshotTable:
         each group is read once (one parquet scan over many dirs — keeps
         the plan small even with thousands of buckets), aligned to the
         current schema, and unioned (≤ number of historical schemas groups).
+
+        COW snapshots hold ≤1 row per key, so the read is scan+filter only.
+        When merge-on-read fragments exist (merge_mode="mor"), the read
+        LWW-resolves across fragments first — Iceberg v2 MOR's read-side
+        merge, paid only when fragments are present.
         """
         v = self.current_version() if version is None else version
         if v < 0:
             raise ValueError(f"table {self.path} has no snapshots")
         c = self._read_commit(v)
         schema = T.StructType.fromJson(c["schemas"][-1])
-        df = self._read_groups(c, list(c["buckets"].values()), schema,
-                               keep_tombstones=False)
-        return df
+        if self._needs_resolve(c):
+            df = self._read_groups(c, list(c["buckets"].values()), schema,
+                                   keep_tombstones=True)
+            df = self._resolve_lww(df)
+            return df.filter(~F.col(_TOMBSTONE)).drop(_TOMBSTONE)
+        return self._read_groups(c, list(c["buckets"].values()), schema,
+                                 keep_tombstones=False)
 
     def _read_groups(self, commit: dict, infos: list[dict],
                      schema: T.StructType, keep_tombstones: bool) -> DataFrame:
@@ -183,9 +215,10 @@ class SnapshotTable:
         target = T.StructType(list(schema.fields) + [ts_field])
         groups: dict[int, list[str]] = {}
         for info in infos:
-            groups.setdefault(info["schema_id"], []).append(
-                os.path.join(self.path, info["path"])
-            )
+            for frag in self._frags(info):
+                groups.setdefault(frag["schema_id"], []).append(
+                    os.path.join(self.path, frag["path"])
+                )
         if not groups:
             out = self.spark.createDataFrame([], target)
         else:
@@ -247,8 +280,9 @@ class SnapshotTable:
         for v in keep_versions:
             c = self._read_commit(v)
             for info in c["buckets"].values():
-                # bucket paths look like data/snap000…/__bucket=k
-                referenced.add(info["path"].split(os.sep + "__bucket=")[0])
+                for frag in self._frags(info):
+                    # fragment paths look like data/snap000…/__bucket=k
+                    referenced.add(frag["path"].split(os.sep + "__bucket=")[0])
         data_root = os.path.join(self.path, _DATA_DIR)
         removed = 0
         for d in os.listdir(data_root):
@@ -289,18 +323,25 @@ class SnapshotTable:
         return new_version
 
     def compact(self) -> int:
-        """Rewrite every bucket into one fresh snapshot: merges the
-        schema-group fragmentation, drops tombstones (GC — safe once no
-        lower-LSN events can still arrive, i.e. between ingest sessions),
-        and leaves a single schema id. Returns the new snapshot id."""
+        """Rewrite every bucket into one fresh snapshot: merges MOR
+        fragments and schema-group fragmentation, drops tombstones (GC —
+        safe once no lower-LSN events can still arrive, i.e. between ingest
+        sessions), and leaves a single schema id per bucket. Returns the
+        new snapshot id."""
         cur_version = self.current_version()
         if cur_version < 0:
             raise ValueError("nothing to compact")
         commit = self._read_commit(cur_version)
         schema = T.StructType.fromJson(commit["schemas"][-1])
         live = self._read_groups(
-            commit, list(commit["buckets"].values()), schema, keep_tombstones=False
-        ).withColumn("__bucket", bucket_expr(self.key, self.n_buckets))
+            commit, list(commit["buckets"].values()), schema, keep_tombstones=True
+        )
+        if self._needs_resolve(commit):
+            live = self._resolve_lww(live)
+        live = (
+            live.filter(~F.col(_TOMBSTONE)).drop(_TOMBSTONE)
+            .withColumn("__bucket", bucket_expr(self.key, self.n_buckets))
+        )
         new_version = cur_version + 1
         rel = os.path.join(_DATA_DIR, f"snap{new_version:010d}")
         (
@@ -338,6 +379,7 @@ class SnapshotTable:
         stats_mode: str = "observe",
         meta_rows: list | None = None,
         pre_reduce: str | None = None,
+        merge_mode: str = "cow",
     ) -> MergeStats:
         """Idempotent LWW MERGE of a change batch — ONE pass over the payload.
 
@@ -385,6 +427,20 @@ class SnapshotTable:
                       across epochs doesn't matter: tombstoned LWW is
                       commutative — each batch applied exactly once.
 
+        ``merge_mode`` — the write-amplification dial (Iceberg COW vs MOR):
+        - "cow" (default): rewrite the touched buckets — reads stay
+          scan-only (≤1 row per key on disk). Best when batches touch a
+          small fraction of the table or reads dominate.
+        - "mor": append the batch winners as a new FRAGMENT per bucket and
+          never read or rewrite current rows — per-batch cost is O(batch),
+          not O(touched buckets). Reads LWW-resolve across fragments
+          (read() pays a window) until ``compact()`` folds fragments back
+          to one. Best for update-heavy streams where batches touch most
+          buckets — exactly the regime where COW write-amplification
+          explodes. Modes interoperate: a COW merge over a fragmented
+          table naturally compacts the buckets it touches (its window
+          resolves all fragment rows).
+
         ``pre_reduce="salted"`` — hot-key escape hatch: when a single key can
         dominate a microbatch (one url re-crawled millions of times), the
         window-rank funnels ALL its copies into one bucket partition's sort.
@@ -403,6 +459,8 @@ class SnapshotTable:
         phases: dict[str, int] = {}
         if pre_reduce not in (None, "salted"):
             raise ValueError(f"unknown pre_reduce {pre_reduce!r}")
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"unknown merge_mode {merge_mode!r}")
         cur_version = self.current_version()
         if cur_version < 0:
             raise ValueError("call init_empty(schema) before merging")
@@ -526,10 +584,16 @@ class SnapshotTable:
             events.withColumn(_TOMBSTONE, F.col(op_col) == "delete"),
             T.StructType(new_schema.fields + [tomb_field]),
         ).withColumn("__src", F.lit(True))
-        current = self._read_buckets(commit, touched, new_schema).withColumn(
-            "__src", F.lit(False)
-        )
-        unioned = src.unionByName(current).withColumn(
+        if merge_mode == "mor":
+            # merge-on-read: only the batch flows — current rows are never
+            # read or rewritten; the window below dedups the batch itself
+            unioned = src
+        else:
+            current = self._read_buckets(commit, touched, new_schema).withColumn(
+                "__src", F.lit(False)
+            )
+            unioned = src.unionByName(current)
+        unioned = unioned.withColumn(
             "__bucket", bucket_expr(self.key, self.n_buckets)
         )
         from pyspark.sql import Window
@@ -584,15 +648,21 @@ class SnapshotTable:
             int((time.monotonic() - t0) * 1000) - phases["meta_ms"]
         )
 
-        # ---- manifest: new paths for touched, carry-forward for the rest.
-        # A touched bucket with zero survivors (everything deleted) produces
-        # no partition dir — it simply leaves the manifest (= empty bucket).
+        # ---- manifest: COW replaces the touched buckets' fragments; MOR
+        # appends the new fragment to each touched bucket's list. A COW
+        # bucket with zero survivors (everything deleted) produces no
+        # partition dir — it simply leaves the manifest (= empty bucket);
+        # in MOR deletes are tombstone rows, so the dir always exists.
         buckets = dict(commit["buckets"])
         for b in touched:
             bucket_rel = os.path.join(rel, f"__bucket={b}")
+            frag = {"path": bucket_rel, "schema_id": new_schema_id}
             if os.path.isdir(os.path.join(self.path, bucket_rel)):
-                buckets[str(b)] = {"path": bucket_rel, "schema_id": new_schema_id}
-            else:
+                if merge_mode == "mor" and str(b) in buckets:
+                    buckets[str(b)] = self._frags(buckets[str(b)]) + [frag]
+                else:
+                    buckets[str(b)] = frag
+            elif merge_mode == "cow":
                 buckets.pop(str(b), None)
         latency_ms = int((time.monotonic() - t0) * 1000)
         self._commit(new_version, {

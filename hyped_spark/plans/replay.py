@@ -116,6 +116,7 @@ class ReplayConfig:
     n_buckets: int = 16             # table buckets (≫ at real scale)
     n_salt: int = 16                # salt fan-out for hot keys
     derived_columns: bool = False   # ingest-time analysis columns (see target_schema)
+    merge_mode: str = "cow"         # "cow" | "mor" (see SnapshotTable.merge_events)
 
 
 class ReplayEngine:
@@ -224,7 +225,7 @@ class ReplayEngine:
         stats = self.table.merge_events(
             events, batch_id=batch_id, guard=guard, op_col="op",
             transform=self._extract_transform, stats_mode=stats_mode,
-            meta_rows=meta_rows,
+            meta_rows=meta_rows, merge_mode=self.cfg.merge_mode,
         )
         if not stats.skipped_replay:
             self._append_metrics(stats)
