@@ -335,21 +335,33 @@ def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (scale path; verified vs exact in tests)."""
+    """MinHash+LSH near-dup pairs, full SQL oracle.
+
+    hash_mode='md5' makes the shingle hash DuckDB-expressible, so the whole
+    pipeline (tokenize → shingle → 64 minhash permutations → 16-band LSH →
+    exact-Jaccard verify) is mirrored bit-for-bit by ``_minhash_oracle`` —
+    this closes the r2 ``no_oracle`` row. The xxhash64 scale path stays the
+    operator default and keeps its recall/equivalence pytest coverage."""
     from hyped_spark.operators.dedup import minhash_lsh_pairs
 
     d = _load(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        d, "text", "doc_id", n_hashes=64, n_bands=16, shingle_n=3, min_jaccard=0.4
+        d, "text", "doc_id", n_hashes=64, n_bands=16, shingle_n=3,
+        min_jaccard=0.4, hash_mode="md5",
     )
 
 
 def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (banded Hamming ≤ 3)."""
+    """SimHash near-dup pairs (banded Hamming ≤ 3), full SQL oracle.
+
+    hash_mode='md5' (60-bit portable token hashes) lets ``_simhash_oracle``
+    recompute each document's SimHash bit-for-bit in DuckDB and brute-force
+    the Hamming pairs — the banding here is exact for distance ≤ 3, so the
+    outputs must match exactly."""
     from hyped_spark.operators.dedup import simhash_pairs
 
     d = _load(spark, sf_dir, "documents")
-    return simhash_pairs(d, "text", "doc_id", max_hamming=3)
+    return simhash_pairs(d, "text", "doc_id", max_hamming=3, hash_mode="md5")
 
 
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,6 +721,8 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "ngram_jaccard_pairs_docs": _jaccard_oracle(min_jaccard=0.4),
+        "minhash_pairs_docs": _minhash_oracle(min_jaccard=0.4),
+        "simhash_pairs_docs": _simhash_oracle(max_hamming=3),
         "embedding_neardup": """
             WITH v AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -855,6 +869,103 @@ def _jaccard_oracle(min_jaccard: float) -> str:
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
               / len(list_distinct(list_concat(a.shingles, b.shingles))) >= {min_jaccard}
+    """
+
+
+_H60 = "CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+_TOKS_CTE = r"""
+        toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                               x -> len(x) > 0) AS t
+            FROM documents
+        )"""
+
+
+def _minhash_oracle(min_jaccard: float, n_hashes: int = 64, n_bands: int = 16) -> str:
+    """DuckDB twin of minhash_lsh_pairs(hash_mode='md5'): same tokenizer and
+    shingle semantics as _jaccard_oracle, the portable 60-bit md5 hash for
+    shingles, the 64 (a,b) permutation coefficients embedded as literals
+    (identical seeded SHA stream), LSH banding via band-string equality
+    (Spark groups on xxhash64 of the same string — equal iff equal modulo a
+    ~2^-64 collision), and exact-Jaccard verification on the shingle-hash
+    sets."""
+    from hyped_spark.functions.hashing import MERSENNE_P, _coeffs
+
+    rows_per_band = n_hashes // n_bands
+    coef_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_coeffs(n_hashes, seed=42))
+    )
+    sh_hash = _H60.format(expr="array_to_string(list_slice(t, i, i + 2), ' ')")
+    sh_short = _H60.format(expr="coalesce(array_to_string(t, ' '), '')")
+    return f"""
+        WITH {_TOKS_CTE}, sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN
+                     list_distinct([{sh_hash} for i in range(1, len(t) - 1)])
+                   ELSE [{sh_short}] END AS shingles
+            FROM toks
+        ), shl AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), coef(i, a, b) AS (
+            SELECT * FROM (VALUES {coef_rows})
+        ), mh AS (
+            SELECT shl.doc_id, coef.i,
+                   MIN((coef.a * (shl.s % {MERSENNE_P}) + coef.b) % {MERSENNE_P}) AS m
+            FROM shl CROSS JOIN coef GROUP BY shl.doc_id, coef.i
+        ), bsig AS (
+            SELECT doc_id, i // {rows_per_band} AS band,
+                   string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bstr
+            FROM mh GROUP BY doc_id, i // {rows_per_band}
+        ), cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM bsig x JOIN bsig y
+              ON x.band = y.band AND x.bstr = y.bstr AND x.doc_id < y.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+               round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                     / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+               AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+              >= {min_jaccard}
+    """
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """DuckDB twin of simhash_pairs(hash_mode='md5'): recompute each doc's
+    SimHash bit-for-bit (60 effective bits — md5-mode token hashes are
+    60-bit, so bits 60..63 vote 0 in both engines), then brute-force the
+    Hamming-≤-3 pairs. The Spark 4-chunk banding is exact for distance ≤ 3,
+    so brute force is the correct reference. Docs with no tokens get
+    SimHash 0 (LEFT JOIN + coalesce), matching the UDF's empty-input path."""
+    tok_hash = _H60.format(expr="tok")
+    bit_cols = ",\n                   ".join(
+        f"CASE WHEN 2 * sum((h >> {i}) & 1) > count(*) "
+        f"THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END AS b{i}"
+        for i in range(60)
+    )
+    bit_sum = " + ".join(f"v.b{i}" for i in range(60))
+    return f"""
+        WITH {_TOKS_CTE}, th AS (
+            SELECT doc_id, {tok_hash} AS h
+            FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        ), votes AS (
+            SELECT doc_id,
+                   {bit_cols}
+            FROM th GROUP BY doc_id
+        ), sh AS (
+            SELECT d.doc_id, coalesce({bit_sum}, 0) AS sh
+            FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.sh, b.sh)) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
     """
 
 

@@ -6,6 +6,15 @@ universal-hash family  h_i(x) = (a_i·x + b_i) mod p  with p = 2^31−1
 across executors and runs. Everything except the SimHash bit-vote is native
 Catalyst (array expressions, no UDF); SimHash votes over 64 bits with numpy
 in an Arrow-vectorized pandas UDF.
+
+String→int64 hashing is pluggable (``hash_mode``):
+
+- ``"xxhash64"`` (default) — Spark-native, fastest; the 100 TB scale path.
+- ``"md5"``      — portable 60-bit hash (first 15 hex chars of md5, parsed
+  base-16). Bit-identical in DuckDB as
+  ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)``, which is what lets the
+  driver run full SQL oracles for MinHash/SimHash (the r2 ``no_oracle``
+  rows). Always non-negative, so int64 and uint64 arithmetic agree.
 """
 
 from __future__ import annotations
@@ -31,6 +40,24 @@ def _coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
     return out
 
 
+def h64_col(s: Column, hash_mode: str = "xxhash64") -> Column:
+    """String → int64 hash, selectable between the fast and portable modes
+    (see module docstring). ``conv`` parses ≤15 hex chars exactly into a
+    60-bit non-negative long."""
+    if hash_mode == "xxhash64":
+        return F.xxhash64(s)
+    if hash_mode == "md5":
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+
+
+def h64_sql(expr: str, hash_mode: str = "md5") -> str:
+    """DuckDB SQL twin of :func:`h64_col` (portable mode only)."""
+    if hash_mode != "md5":
+        raise ValueError("only hash_mode='md5' is DuckDB-expressible")
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
 def tokens_col(text: Column) -> Column:
     """Lowercased word tokens (native split)."""
     return F.filter(
@@ -38,7 +65,7 @@ def tokens_col(text: Column) -> Column:
     )
 
 
-def shingles_col(tokens: Column, n: int = 3) -> Column:
+def shingles_col(tokens: Column, n: int = 3, hash_mode: str = "xxhash64") -> Column:
     """n-gram shingles of a token array, hashed to int64 (native).
 
     Output: array<long> of distinct shingle hashes — the set representation
@@ -49,10 +76,11 @@ def shingles_col(tokens: Column, n: int = 3) -> Column:
         F.lit(0), F.greatest(n_tokens - n, F.lit(0)), F.lit(1)
     )
     grams = F.when(n_tokens >= n, F.transform(
-        starts, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i + 1, n)))
+        starts,
+        lambda i: h64_col(F.concat_ws(" ", F.slice(tokens, i + 1, n)), hash_mode),
     )).otherwise(
         # short docs: whole doc is one shingle
-        F.array(F.xxhash64(F.concat_ws(" ", tokens)))
+        F.array(h64_col(F.concat_ws(" ", tokens), hash_mode))
     )
     return F.array_distinct(grams)
 
@@ -126,9 +154,14 @@ def simhash64(token_hashes: pd.Series) -> pd.Series:  # pragma: no cover
     return pd.Series(simhash64_batch(token_hashes.tolist()))
 
 
-def token_hashes_col(tokens: Column) -> Column:
-    """array<long> of per-token hashes (native), input to simhash64."""
-    return F.transform(tokens, lambda t: F.xxhash64(t))
+def token_hashes_col(tokens: Column, hash_mode: str = "xxhash64") -> Column:
+    """array<long> of per-token hashes (native), input to simhash64.
+
+    In ``md5`` mode the hashes are 60-bit, so the resulting SimHash has its
+    top four bits always 0 — a valid 60-effective-bit SimHash, identical in
+    both engines (that is the oracle mode; the scale path keeps xxhash64).
+    """
+    return F.transform(tokens, lambda t: h64_col(t, hash_mode))
 
 
 def hamming64_col(a: Column, b: Column) -> Column:

@@ -49,8 +49,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     return keyed.join(reps, [id_col, "__fp"], "left_semi").drop("__fp")
 
 
-def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    return df.withColumn("__shingles", shingles_col(tokens_col(F.col(text_col)), n))
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
+                  hash_mode: str = "xxhash64") -> DataFrame:
+    return df.withColumn(
+        "__shingles", shingles_col(tokens_col(F.col(text_col)), n, hash_mode)
+    )
 
 
 def minhash_lsh_pairs(
@@ -61,6 +64,7 @@ def minhash_lsh_pairs(
     n_bands: int = 16,
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) with verified Jaccard.
 
@@ -78,7 +82,7 @@ def minhash_lsh_pairs(
     here too.
     """
     rows_per_band = n_hashes // n_bands
-    shing = with_shingles(spread(df), text_col, shingle_n).select(
+    shing = with_shingles(spread(df), text_col, shingle_n, hash_mode).select(
         F.col(id_col).alias("id"), "__shingles"
     )
     bands = (
@@ -150,6 +154,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs via 4-chunk banding (exact for distance ≤ 3).
 
@@ -159,7 +164,7 @@ def simhash_pairs(
     """
     hashed = spread(df).select(
         F.col(id_col).alias("id"),
-        simhash64(token_hashes_col(tokens_col(F.col(text_col)))).alias("sh"),
+        simhash64(token_hashes_col(tokens_col(F.col(text_col)), hash_mode)).alias("sh"),
     )
     chunks = hashed.select(
         "id", "sh",
