@@ -393,8 +393,10 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means inverted file) approximate top-k — the second ANN scale
-    path next to LSH. No SQL oracle (k-means training isn't expressible);
-    quality is pytest-verified (self-match, exact-cosine subset)."""
+    path next to LSH, now with a full SQL oracle: training is a bounded
+    hash-ranked sample plus 5 fixed Lloyd steps with 6-dp centroid
+    rounding, so ``_ann_ivf_oracle`` replays the identical fit as chained
+    DuckDB CTEs (closes the r2 ``no_oracle`` row)."""
     from hyped_spark.operators.similarity import ivf_topk
 
     emb = _load(spark, sf_dir, "embeddings").withColumn(
@@ -800,6 +802,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_scores": _quality_oracle(),
         "ann_topk_lsh": _ann_lsh_oracle(dim=64, n_bits=6, k=5),
+        "ann_topk_ivf": _ann_ivf_oracle(dim=64, n_lists=8, n_probe=2, k=5),
         # fixed spans (1,3)/(5,8), no truncation: marker insertion is pure
         # list surgery, so the oracle is the explicit slice concatenation
         "relex_mark_docs": """
@@ -966,6 +969,91 @@ def _simhash_oracle(max_hamming: int = 3) -> str:
                bit_count(xor(a.sh, b.sh)) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+def _ann_ivf_oracle(
+    dim: int = 64,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+    n_iters: int = 5,
+    train_cap: int = 100_000,
+) -> str:
+    """DuckDB twin of ivf_topk: replays the ENTIRE deterministic fit —
+    hash-ranked train sample (same portable md5 hash), init = n_lists
+    smallest-hash vectors rounded to 6 dp, then ``n_iters`` Lloyd steps as
+    chained CTEs (assign = argmin squared distance with cell-index
+    tie-break; update = per-dimension round(avg, 6); empty cells keep their
+    centroid) — and then the same cell-equi-join query. Matching is exact
+    because both engines compute from identically rounded centroids; the
+    only divergence channel is float summation order, orders of magnitude
+    below the 6-dp rounding and the distance gaps of random embeddings."""
+    h = _H60.format(expr="CAST(vec_id AS VARCHAR)")
+    d2 = "list_sum(list_transform(list_zip({x}, c.ce), z -> (z[1]-z[2])*(z[1]-z[2])))"
+    iters = []
+    for t in range(n_iters):
+        iters.append(f"""
+        a{t} AS (
+            SELECT vec_id, e, cell FROM (
+                SELECT t.vec_id, t.e, c.cell,
+                       row_number() OVER (PARTITION BY t.vec_id
+                                          ORDER BY {d2.format(x='t.e')}, c.cell) AS arn
+                FROM tr t CROSS JOIN c{t} c
+            ) WHERE arn = 1
+        ), m{t} AS (
+            SELECT cell, i, round(avg(e[i]), 6) AS mv
+            FROM a{t} CROSS JOIN range(1, {dim + 1}) r(i)
+            GROUP BY cell, i
+        ), c{t + 1} AS (
+            SELECT c.cell, coalesce(g.ge, c.ce) AS ce
+            FROM c{t} c LEFT JOIN (
+                SELECT cell, list(mv ORDER BY i) AS ge FROM m{t} GROUP BY cell
+            ) g USING (cell)
+        )""")
+    cfin = f"c{n_iters}"
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), tr AS (
+            SELECT vec_id, e FROM (
+                SELECT vec_id, e,
+                       row_number() OVER (ORDER BY {h}, vec_id) AS rn
+                FROM v
+            ) WHERE rn <= {train_cap}
+        ), c0 AS (
+            SELECT rn - 1 AS cell, list_transform(e, x -> round(x, 6)) AS ce
+            FROM (
+                SELECT e, row_number() OVER (ORDER BY {h}, vec_id) AS rn
+                FROM v
+            ) WHERE rn <= {n_lists}
+        ),{",".join(iters)}, ccell AS (
+            SELECT vec_id, e, cell FROM (
+                SELECT v.vec_id, v.e, c.cell,
+                       row_number() OVER (PARTITION BY v.vec_id
+                                          ORDER BY {d2.format(x='v.e')}, c.cell) AS arn
+                FROM v CROSS JOIN {cfin} c
+            ) WHERE arn = 1
+        ), qcell AS (
+            SELECT query_id, qe, cell FROM (
+                SELECT v.vec_id AS query_id, v.e AS qe, c.cell,
+                       row_number() OVER (PARTITION BY v.vec_id
+                                          ORDER BY {d2.format(x='v.e')}, c.cell) AS arn
+                FROM v CROSS JOIN {cfin} c
+                WHERE v.vec_id < 8
+            ) WHERE arn <= {n_probe}
+        ), scored AS (
+            SELECT q.query_id, cc.vec_id,
+                   round(list_dot_product(q.qe, cc.e) /
+                         (sqrt(list_dot_product(q.qe, q.qe)) *
+                          sqrt(list_dot_product(cc.e, cc.e))), 6) AS cosine
+            FROM qcell q JOIN ccell cc USING (cell)
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
     """
 
 

@@ -156,6 +156,54 @@ def lsh_topk(
     )
 
 
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_lists: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_cap: int = 100_000,
+    n_iters: int = 5,
+) -> np.ndarray:
+    """Deterministic bounded Lloyd k-means coarse quantizer.
+
+    Training NEVER touches the full corpus: the train set is the
+    ``train_cap`` rows with the smallest portable hash of the id — a
+    uniform pseudo-random sample that Spark executes as a distributed
+    TakeOrdered (per-partition top-cap, then a driver merge of
+    ``min(n, cap)`` rows — at 100 TB this is one narrow map + a bounded
+    collect, not a global sort). Init = the ``n_lists`` smallest-hash
+    vectors; then ``n_iters`` fixed Lloyd steps with centroids rounded to
+    6 decimals after every update.
+
+    Every choice (hash-ranked sample, stable argmin tie-break on cell
+    index, per-step rounding) exists so the whole fit is replayable in
+    plain SQL — the DuckDB oracle for ``ann_topk_ivf`` re-runs the exact
+    same iterations as chained CTEs and must land on identical centroids.
+    """
+    from hyped_spark.functions.hashing import h64_col
+
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+        )
+        .withColumn("__h", h64_col(F.col("__id").cast("string"), "md5"))
+        .orderBy("__h", "__id")
+        .limit(train_cap)
+        .select("__v")
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)  # (≤cap, dim)
+    C = np.round(X[:n_lists].copy(), 6)
+    for _ in range(n_iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)  # ties -> smallest cell index
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):  # empty cell keeps its previous centroid
+                C[j] = np.round(members.mean(axis=0), 6)
+    return C
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -165,34 +213,32 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    seed: int = 42,
+    train_cap: int = 100_000,
+    n_iters: int = 5,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: a seeded k-means coarse
-    quantizer assigns every corpus vector to one of ``n_lists`` cells; a
-    query scores only the vectors in its ``n_probe`` nearest cells.
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    assigns every corpus vector to one of ``n_lists`` cells; a query scores
+    only the vectors in its ``n_probe`` nearest cells.
 
-    The 100 TB shape: centroids are driver-side tiny (n_lists × dim) and
-    broadcast inside the assignment UDF; the corpus gains one int cell id
-    and the candidate join is a cell equi-join (query side exploded to
-    n_probe rows — the corpus is never duplicated). Recall dials:
-    ``n_lists`` down or ``n_probe`` up. Training samples the corpus via
-    MLlib KMeans (seeded → deterministic across runs and executors).
+    The 100 TB shape: training is bounded to ``train_cap`` hash-sampled
+    rows (see :func:`ivf_train_centroids` — no full-corpus fit); centroids
+    are driver-side tiny (n_lists × dim) and broadcast inside the
+    assignment UDF; the corpus gains one int cell id and the candidate join
+    is a cell equi-join (query side exploded to n_probe rows — the corpus
+    is never duplicated). Recall dials: ``n_lists`` down or ``n_probe`` up.
     """
     from pyspark.sql import Window
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
-    C = np.stack([np.asarray(c) for c in model.clusterCenters()])  # (L, dim)
+    C = ivf_train_centroids(
+        corpus, n_lists, id_col, vec_col, train_cap=train_cap, n_iters=n_iters
+    )
 
     def make_cells_udf(n: int):
         @F.pandas_udf(T.ArrayType(T.IntegerType()))
         def cells(vec: pd.Series) -> pd.Series:  # pragma: no cover (executor)
             M = np.stack(vec.to_numpy())                     # (batch, dim)
             d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            order = np.argsort(d2, axis=1)[:, :n].astype(np.int32)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :n].astype(np.int32)
             return pd.Series(list(order))
 
         return cells

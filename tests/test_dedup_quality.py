@@ -117,6 +117,29 @@ def test_ivf_topk_quality(spark):
             assert abs(exact[(r.query_id, r.vec_id)] - r.cosine) < 1e-9
 
 
+def test_ivf_training_bounded(spark):
+    """The k-means fit must depend ONLY on the train_cap hash-sampled rows:
+    fitting the full corpus with cap=16 equals fitting just those 16 rows —
+    i.e. no full-corpus training stage exists (the r2 scale defect)."""
+    import numpy as np
+
+    from hyped_spark.functions.hashing import h64_col
+    from hyped_spark.operators.similarity import ivf_train_centroids
+
+    emb = _emb(spark)
+    assert emb.count() > 16
+    capped = ivf_train_centroids(emb, n_lists=4, train_cap=16, n_iters=3)
+    sample = (
+        emb.withColumn("__h", h64_col(F.col("vec_id").cast("string"), "md5"))
+        .orderBy("__h", "vec_id")
+        .limit(16)
+        .drop("__h")
+    )
+    explicit = ivf_train_centroids(sample, n_lists=4, train_cap=10**9, n_iters=3)
+    assert capped.shape == explicit.shape == (4, len(emb.first().embedding))
+    assert np.array_equal(capped, explicit)
+
+
 def test_lsh_topk_multi_probe_recall(spark):
     """Multi-probe must dominate single-probe recall at the same n_bits
     (it probes a strict superset of buckets) while never inventing hits."""
