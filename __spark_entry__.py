@@ -413,10 +413,12 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The raw sf tables carry no true near-duplicates at 0.99 cosine (measured
     max random-pair cosine ≈ 0.51), so the query plants deterministic ones:
-    scaled copies (vec_id + 100000, each element ×1.01). Scaling leaves
-    cosine at exactly 1.0 and never flips a hyperplane sign, so the LSH
-    bucketing provably co-locates each planted pair — the result equals the
-    brute-force oracle, making the driver check non-vacuous."""
+    scaled copies (vec_id → −1−vec_id, each element ×1.01). Negative ids
+    are disjoint from the non-negative real ids at ANY table size (the old
+    +100000 offset collided once the table passed 100k rows). Scaling
+    leaves cosine at exactly 1.0 and never flips a hyperplane sign, so
+    every band co-locates each planted pair — the banded LSH result equals
+    the brute-force oracle, making the driver check non-vacuous."""
     from hyped_spark.operators.similarity import embedding_neardup_pairs
 
     emb = _load(spark, sf_dir, "embeddings").select(
@@ -424,12 +426,14 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
     )
     planted = emb.filter(F.col("vec_id") < 16).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (-F.col("vec_id") - 1).alias("vec_id"),
         F.transform(F.col("embedding"), lambda x: x * 1.01).alias("embedding"),
     )
     corpus = emb.unionByName(planted)
     dim = len(emb.select("embedding").first()[0])
-    return embedding_neardup_pairs(corpus, dim=dim, min_cosine=0.99, n_bits=6)
+    return embedding_neardup_pairs(
+        corpus, dim=dim, min_cosine=0.99, n_bands=8, band_bits=8
+    )
 
 
 def seq_val_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -731,7 +735,7 @@ def oracle_sql() -> dict[str, str]:
             ), corpus AS (
                 SELECT vec_id, e FROM v
                 UNION ALL
-                SELECT vec_id + 100000 AS vec_id,
+                SELECT -vec_id - 1 AS vec_id,
                        list_transform(e, x -> x * 1.01) AS e
                 FROM v WHERE vec_id < 16
             ), scored AS (

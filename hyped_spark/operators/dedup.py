@@ -12,9 +12,9 @@ Scale shapes (the 100 TB story):
   chunk equality as the LSH — any ≤3-bit-distant pair shares a chunk).
 - ``ngram_jaccard_pairs``: exact verified Jaccard on shingle sets for the
   candidates (used as the verifier stage after either LSH).
-- ``embedding_neardup_pairs``: cosine near-dup via random-hyperplane LSH
-  bucketing + in-bucket verification (see operators/similarity.py for the
-  shared vector kernels).
+- ``embedding_neardup_pairs``: cosine near-dup via banded random-hyperplane
+  LSH (candidate = collide in any band) + exact-cosine verification (see
+  operators/similarity.py for the shared vector kernels).
 """
 
 from __future__ import annotations

@@ -7,7 +7,8 @@
   the corpus; a query only scores candidates sharing a band. Hyperplanes are
   derived from a seeded hash (deterministic, identical across executors) and
   applied natively via precomputed per-dimension sign arrays.
-- ``embedding_neardup_pairs``: corpus self-near-dup via the same bucketing.
+- ``embedding_neardup_pairs``: corpus self-near-dup via banded multi-table
+  sign sketches (candidate = collide in any band, verify cosine once).
 
 At 1000-executor scale: the corpus-side projection (id, sketch, norm) is
 what shuffles — never the raw vectors twice; candidate scoring is a bucket
@@ -262,26 +263,65 @@ def ivf_topk(
     )
 
 
+def make_multi_sketch_udf(dim: int, n_bands: int, band_bits: int, seed: int = 42):
+    """Arrow-vectorized multi-band sign sketch: array<float> →
+    array<long> of ``n_bands`` independent bucket ids (disjoint hyperplane
+    sets carved from one seeded matrix)."""
+    H = _hyperplanes(dim, n_bands * band_bits, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sketch(vec: pd.Series) -> pd.Series:  # pragma: no cover (executor)
+        M = np.stack(vec.to_numpy())  # (batch, dim)
+        signs = ((M @ H.T) > 0).reshape(len(M), n_bands, band_bits)
+        weights = (1 << np.arange(band_bits, dtype=np.int64))
+        return pd.Series(list(signs.astype(np.int64) @ weights))
+
+    return sketch
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     dim: int,
     min_cosine: float = 0.95,
-    n_bits: int = 12,
+    n_bands: int = 8,
+    band_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Self near-dup pairs (id_a < id_b) with cosine ≥ threshold, bucketed."""
-    sketch = make_sketch_udf(dim, n_bits)
+    """Self near-dup pairs (id_a < id_b) with cosine ≥ threshold — banded
+    multi-table sign-LSH, the MinHash shape.
+
+    A single wide sketch table is bucket-quadratic at web scale (the r2
+    defect: 2^n_bits buckets over 10^9 docs → ~10^10 in-bucket pairs).
+    Instead: ``n_bands`` independent narrow sketches; candidate = collide
+    in ANY band; each candidate pair verified by exact cosine once. The
+    band self-join shuffles only (id, band, bucket) — the vectors are
+    joined back per side after `dropDuplicates`, never fanned out per
+    band. Recall dials: more bands up, band_bits down (per-band collision
+    p = (1 − θ/π)^band_bits, any-band recall = 1 − (1 − p)^n_bands).
+    Within-band skew (a dense bucket) is an AQE skew-join case, and
+    band_bits bounds the bucket count per band at 2^band_bits.
+    """
+    sketch = make_multi_sketch_udf(dim, n_bands, band_bits)
     base = spread(corpus).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("__bucket", sketch(F.col("v")))
-    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "__bucket")
-    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "__bucket")
+    )
+    bands = base.select(
+        "id", F.posexplode(sketch(F.col("v"))).alias("band", "bucket")
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        a.join(b, "__bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
-        .dropDuplicates(["id_a", "id_b"])
     )

@@ -168,6 +168,53 @@ def test_lsh_topk_multi_probe_recall(spark):
     assert len(pairs) == len(set(pairs))
 
 
+def test_embedding_neardup_banded_recall(spark):
+    """Banded sign-LSH near-dup on NON-identical planted near-dups (seeded
+    perturbations around cosine ≈ 0.95): recall vs the exact all-pairs
+    ground truth must be high, and every returned pair must be a true pair
+    with the exact cosine."""
+    import numpy as np
+
+    from hyped_spark.operators.similarity import embedding_neardup_pairs
+
+    rows = _emb(spark).select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    dim = V.shape[1]
+    rng = np.random.default_rng(7)
+    base = V[:24]
+    noise = rng.standard_normal(base.shape)
+    noise *= (0.30 * np.linalg.norm(base, axis=1) /
+              np.linalg.norm(noise, axis=1))[:, None]
+    planted = base + noise  # cosine ≈ 1/sqrt(1+0.09) ≈ 0.958, some below .95
+    all_ids = np.concatenate([ids, -np.arange(1, 25)])
+    A = np.concatenate([V, planted])
+
+    # exact ground truth in numpy
+    N = A / np.linalg.norm(A, axis=1)[:, None]
+    cos = N @ N.T
+    iu = np.triu_indices(len(A), k=1)
+    exact = {}
+    for i, j, c in zip(iu[0], iu[1], cos[iu]):
+        if c >= 0.95:
+            a, b = sorted((int(all_ids[i]), int(all_ids[j])))
+            exact[(a, b)] = round(float(c), 6)
+    assert len(exact) >= 10, "fixture must plant enough true near-dup pairs"
+
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(all_ids, A)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in embedding_neardup_pairs(df, dim=dim, min_cosine=0.95,
+                                            n_bands=8, band_bits=8).collect()}
+    for pair, c in got.items():
+        assert pair in exact, f"false positive {pair}"
+        assert abs(exact[pair] - c) < 1e-5
+    recall = len(set(got) & set(exact)) / len(exact)
+    assert recall >= 0.8, f"banded recall {recall:.2f} ({len(got)}/{len(exact)})"
+
+
 def test_asof_and_range_join_smoke(spark):
     """Spark-side smoke of the join operators (full oracle parity is in
     test_oracle_parity)."""
