@@ -48,6 +48,7 @@ from hyped_spark.schema import SchemaDiff, align_to_schema, apply_diff, diff_sch
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+_FRAG_FILE = "__frag_file"  # fragment file path, MOR tie-break (see _resolve_lww)
 
 # Deletes persist as tombstone rows (null payload, this flag set). This makes
 # the LWW merge COMMUTATIVE across microbatches: a late-delivered update with
@@ -93,6 +94,10 @@ class SnapshotTable:
         self.key = key
         self.ord_col = ord_col
         self.n_buckets = n_buckets
+        # cached max committed version: one listdir per table lifetime
+        # (advanced by _commit; valid under the single-writer protocol —
+        # a lost commit race invalidates it, see _commit)
+        self._version_cache: int | None = None
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
 
@@ -102,12 +107,18 @@ class SnapshotTable:
         return os.path.join(self.path, _LOG_DIR, f"v{version:020d}.json")
 
     def current_version(self) -> int:
-        """Latest committed version, or -1 if the table is empty."""
-        names = [n for n in os.listdir(os.path.join(self.path, _LOG_DIR))
-                 if n.startswith("v") and n.endswith(".json")]
-        if not names:
-            return -1
-        return max(int(n[1:-5]) for n in names)
+        """Latest committed version, or -1 if the table is empty.
+
+        A 10^5-commit log would otherwise pay a directory scan per merge;
+        the scan runs once per table object and the cache advances on each
+        successful commit."""
+        if self._version_cache is None:
+            names = [n for n in os.listdir(os.path.join(self.path, _LOG_DIR))
+                     if n.startswith("v") and n.endswith(".json")]
+            self._version_cache = (
+                max(int(n[1:-5]) for n in names) if names else -1
+            )
+        return self._version_cache
 
     def _read_commit(self, version: int) -> dict:
         with open(self._log_path(version)) as f:
@@ -127,8 +138,16 @@ class SnapshotTable:
             f.flush()
             os.fsync(f.fileno())
         # final publish must be exclusive -> link(2) fails if target exists
-        os.link(tmp, p)
-        os.unlink(tmp)
+        try:
+            os.link(tmp, p)
+        except FileExistsError:
+            # lost the commit race: another writer advanced the log — the
+            # cached max is stale, force a re-scan on the next read
+            self._version_cache = None
+            raise
+        finally:
+            os.unlink(tmp)
+        self._version_cache = version
 
     # ---------------- schema ----------------
 
@@ -169,16 +188,21 @@ class SnapshotTable:
 
     def _resolve_lww(self, df: DataFrame) -> DataFrame:
         """Read-side LWW across MOR fragments: latest row per key wins
-        (same window shape as the merge; hash-prefixed sort keys)."""
+        (same window shape as the merge; hash-prefixed sort keys).
+
+        Secondary sort on the fragment file path (zero-padded snapNNN dirs →
+        lexicographic = snapshot order) makes equal-ord ties deterministic:
+        duplicate (key, ord) events delivered in different epochs with
+        differing payloads resolve to the NEWEST fragment on every scan."""
         from pyspark.sql import Window
 
         w = Window.partitionBy(F.xxhash64(F.col(self.key)), self.key).orderBy(
-            F.col(self.ord_col).desc()
+            F.col(self.ord_col).desc(), F.col(_FRAG_FILE).desc()
         )
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            .drop("__rn", _FRAG_FILE)
         )
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -201,18 +225,22 @@ class SnapshotTable:
         schema = T.StructType.fromJson(c["schemas"][-1])
         if self._needs_resolve(c):
             df = self._read_groups(c, list(c["buckets"].values()), schema,
-                                   keep_tombstones=True)
+                                   keep_tombstones=True, with_file=True)
             df = self._resolve_lww(df)
             return df.filter(~F.col(_TOMBSTONE)).drop(_TOMBSTONE)
         return self._read_groups(c, list(c["buckets"].values()), schema,
                                  keep_tombstones=False)
 
     def _read_groups(self, commit: dict, infos: list[dict],
-                     schema: T.StructType, keep_tombstones: bool) -> DataFrame:
+                     schema: T.StructType, keep_tombstones: bool,
+                     with_file: bool = False) -> DataFrame:
         """Read a set of bucket dirs, grouped by written schema id (one scan
-        per schema group, so the plan stays small with thousands of buckets)."""
+        per schema group, so the plan stays small with thousands of buckets).
+        ``with_file`` carries each row's source file path (``_metadata``)
+        for the MOR tie-break."""
         ts_field = T.StructField(_TOMBSTONE, T.BooleanType())
-        target = T.StructType(list(schema.fields) + [ts_field])
+        extra = [T.StructField(_FRAG_FILE, T.StringType())] if with_file else []
+        target = T.StructType(list(schema.fields) + [ts_field] + extra)
         groups: dict[int, list[str]] = {}
         for info in infos:
             for frag in self._frags(info):
@@ -229,6 +257,8 @@ class SnapshotTable:
                     + [ts_field]
                 )
                 df = self.spark.read.schema(phys).parquet(*paths)
+                if with_file:
+                    df = df.withColumn(_FRAG_FILE, F.col("_metadata.file_path"))
                 parts.append(align_to_schema(df, target))
             out = parts[0]
             for p in parts[1:]:
@@ -241,10 +271,12 @@ class SnapshotTable:
         return out.filter(~F.col(_TOMBSTONE)).drop(_TOMBSTONE)
 
     def _read_buckets(self, commit: dict, bucket_ids: list[int],
-                      schema: T.StructType) -> DataFrame:
+                      schema: T.StructType,
+                      with_file: bool = False) -> DataFrame:
         infos = [commit["buckets"][str(b)] for b in bucket_ids
                  if str(b) in commit["buckets"]]
-        return self._read_groups(commit, infos, schema, keep_tombstones=True)
+        return self._read_groups(commit, infos, schema, keep_tombstones=True,
+                                 with_file=with_file)
 
     # ---------------- write path ----------------
 
@@ -334,10 +366,13 @@ class SnapshotTable:
         commit = self._read_commit(cur_version)
         schema = T.StructType.fromJson(commit["schemas"][-1])
         live = self._read_groups(
-            commit, list(commit["buckets"].values()), schema, keep_tombstones=True
+            commit, list(commit["buckets"].values()), schema,
+            keep_tombstones=True, with_file=True,
         )
         if self._needs_resolve(commit):
             live = self._resolve_lww(live)
+        else:
+            live = live.drop(_FRAG_FILE)
         live = (
             live.filter(~F.col(_TOMBSTONE)).drop(_TOMBSTONE)
             .withColumn("__bucket", bucket_expr(self.key, self.n_buckets))
@@ -589,9 +624,10 @@ class SnapshotTable:
             # read or rewritten; the window below dedups the batch itself
             unioned = src
         else:
-            current = self._read_buckets(commit, touched, new_schema).withColumn(
-                "__src", F.lit(False)
-            )
+            current = self._read_buckets(
+                commit, touched, new_schema, with_file=True
+            ).withColumn("__src", F.lit(False))
+            src = src.withColumn(_FRAG_FILE, F.lit(None).cast("string"))
             unioned = src.unionByName(current)
         unioned = unioned.withColumn(
             "__bucket", bucket_expr(self.key, self.n_buckets)
@@ -606,13 +642,19 @@ class SnapshotTable:
         # the worst-scaling stage in the microbenchmarks. Grouping is
         # unchanged (key determines its hash) and hashpartitioning(__bucket)
         # still satisfies the clustering (subset rule) — no extra exchange.
+        # equal-ord tie-break is deterministic: the batch delivery beats a
+        # carried row (__src desc), and among carried MOR fragments the
+        # newest fragment file wins (zero-padded snap dirs sort by snapshot)
+        tie = [F.col("__src").desc()]
+        if merge_mode != "mor":
+            tie.append(F.col(_FRAG_FILE).desc())
         w = Window.partitionBy(
             "__bucket", F.xxhash64(F.col(self.key)), self.key
-        ).orderBy(F.col(self.ord_col).desc())
+        ).orderBy(F.col(self.ord_col).desc(), *tie)
         survivors = (
             prepped.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            .drop("__rn", _FRAG_FILE)
         )
         if transform is not None:
             survivors = transform(survivors)

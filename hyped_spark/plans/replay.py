@@ -75,7 +75,8 @@ def target_schema(with_fetch_status: bool = False,
 
 
 def build_merge_source(events: DataFrame, n_salt: int = 16,
-                       strategy: str = "maxjoin") -> DataFrame:
+                       strategy: str = "maxjoin", key: str = "url",
+                       ord_col: str = "lsn") -> DataFrame:
     """Change events → merge-ready source: LWW dedup + vectorized extraction.
 
     Physical strategy (measured — scripts/dedup_shape_bench.py):
@@ -96,15 +97,15 @@ def build_merge_source(events: DataFrame, n_salt: int = 16,
     for pipelines that want the merge-ready frame itself.
     """
     if strategy == "salted":
-        deduped = lww_dedup_salted(events, key="url", ord_col="lsn", n_salt=n_salt)
+        deduped = lww_dedup_salted(events, key=key, ord_col=ord_col, n_salt=n_salt)
     elif strategy == "agg":
         from hyped_spark.operators.lww import lww_dedup_agg
 
-        deduped = lww_dedup_agg(events, key="url", ord_col="lsn")
+        deduped = lww_dedup_agg(events, key=key, ord_col=ord_col)
     else:
         from hyped_spark.operators.lww import lww_dedup_maxjoin
 
-        deduped = lww_dedup_maxjoin(events, key="url", ord_col="lsn")
+        deduped = lww_dedup_maxjoin(events, key=key, ord_col=ord_col)
     return deduped.withColumn("text", extract_text(F.col("html")))
 
 
@@ -117,16 +118,20 @@ class ReplayConfig:
     n_salt: int = 16                # salt fan-out for hot keys
     derived_columns: bool = False   # ingest-time analysis columns (see target_schema)
     merge_mode: str = "cow"         # "cow" | "mor" (see SnapshotTable.merge_events)
+    key: str = "url"                # merge key column in the change log
+    ord_col: str = "lsn"            # total-order column (the LSN)
 
 
 class ReplayEngine:
-    """Replays an LSN-ordered change log into a SnapshotTable."""
+    """Replays an ordered change log into a SnapshotTable, merging on
+    ``cfg.key`` ordered by ``cfg.ord_col`` (defaults url/lsn)."""
 
     def __init__(self, spark: SparkSession, cfg: ReplayConfig):
         self.spark = spark
         self.cfg = cfg
         self.table = SnapshotTable(
-            spark, cfg.table_path, key="url", ord_col="lsn", n_buckets=cfg.n_buckets
+            spark, cfg.table_path, key=cfg.key, ord_col=cfg.ord_col,
+            n_buckets=cfg.n_buckets,
         )
 
     # -- metrics ------------------------------------------------------------
@@ -231,19 +236,32 @@ class ReplayEngine:
             self._append_metrics(stats)
         return stats
 
-    def replay(self, log: DataFrame, init_schema: T.StructType | None = None) -> list[MergeStats]:
-        """Replay a whole log in LSN-range microbatches.
+    # batches per upfront lineage job: bounds the driver to
+    # ≤ _META_CHUNK × n_buckets rollup rows in memory per collect (at
+    # 10^3 batches × 10^4 buckets an unchunked collect would be 10^7 rows)
+    _META_CHUNK = 64
 
-        The per-batch filter ``lsn ∈ [a, b)`` is pushed down to the parquet
+    def _default_schema(self) -> T.StructType:
+        """Default webtext target schema with the url/lsn fields renamed to
+        the configured key/ord_col (no-op for the defaults)."""
+        base = target_schema(with_derived=self.cfg.derived_columns)
+        rename = {"url": self.cfg.key, "lsn": self.cfg.ord_col}
+        return T.StructType([
+            T.StructField(rename.get(f.name, f.name), f.dataType, f.nullable)
+            for f in base.fields
+        ])
+
+    def replay(self, log: DataFrame, init_schema: T.StructType | None = None) -> list[MergeStats]:
+        """Replay a whole log in ord-range microbatches.
+
+        The per-batch filter ``ord ∈ [a, b)`` is pushed down to the parquet
         scan (row-group min/max pruning — segments are written in LSN order),
         so each batch reads only its slice of the log, not the whole log.
         """
+        ordc = self.cfg.ord_col
         if self.table.current_version() < 0:
-            self.table.init_empty(
-                init_schema
-                or target_schema(with_derived=self.cfg.derived_columns)
-            )
-        bounds = log.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+            self.table.init_empty(init_schema or self._default_schema())
+        bounds = log.agg(F.min(ordc), F.max(ordc)).collect()[0]
         if bounds[0] is None:
             return []
         lo, hi = int(bounds[0]), int(bounds[1])
@@ -254,39 +272,46 @@ class ReplayEngine:
         # stable across resume (batch k always covers [k*B, (k+1)*B))
         first_batch = start // self.cfg.batch_lsns
         last_batch = hi // self.cfg.batch_lsns
-        # ONE upfront job computes every batch's per-bucket lineage rollup
-        # (guard bounds, touched buckets, raw counts): a per-batch meta job
-        # was ~0.5s of parallelism-independent overhead each — at 4 batches
-        # that alone capped N→4N scaling efficiency (BENCH/BASELINE.md).
+        # One upfront lineage job per _META_CHUNK batches computes the
+        # per-bucket rollup (guard bounds, touched buckets, raw counts): a
+        # per-BATCH meta job was ~0.5s of parallelism-independent overhead
+        # each — at 4 batches that alone capped N→4N scaling efficiency
+        # (BENCH/BASELINE.md) — while one GLOBAL job is driver-unbounded.
         from hyped_spark.lake.table import bucket_expr
 
         B = self.cfg.batch_lsns
         commit = self.table.current_commit()
         n_buckets = int(commit["n_buckets"]) if commit else self.cfg.n_buckets
-        all_meta = (
-            log.filter(F.col("lsn") >= start)
-            .select(
-                F.expr(f"lsn DIV {B}").alias("__k"),  # exact integer division
-                bucket_expr("url", n_buckets).alias("__bucket"),
-                F.col("lsn"),
+        for c0 in range(first_batch, last_batch + 1, self._META_CHUNK):
+            c_last = min(c0 + self._META_CHUNK - 1, last_batch)
+            chunk_meta = (
+                log.filter(
+                    (F.col(ordc) >= max(c0 * B, start))
+                    & (F.col(ordc) < (c_last + 1) * B)
+                )
+                .select(
+                    # exact integer division
+                    F.expr(f"`{ordc}` DIV {B}").alias("__k"),
+                    bucket_expr(self.cfg.key, n_buckets).alias("__bucket"),
+                    F.col(ordc).alias("__ord"),
+                )
+                .groupBy("__k", "__bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("__ord").alias("lmin"),
+                    F.max("__ord").alias("lmax"),
+                )
+                .collect()
             )
-            .groupBy("__k", "__bucket")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min("lsn").alias("lmin"),
-                F.max("lsn").alias("lmax"),
-            )
-            .collect()
-        )
-        meta_by_batch: dict[int, list] = {}
-        for r in all_meta:
-            meta_by_batch.setdefault(int(r["__k"]), []).append(r)
-        for k in range(first_batch, last_batch + 1):
-            a = max(k * B, start)
-            b = (k + 1) * B
-            batch = log.filter((F.col("lsn") >= a) & (F.col("lsn") < b))
-            stats = self.apply_batch(
-                batch, batch_id=k, meta_rows=meta_by_batch.get(k, [])
-            )
-            out.append(stats)
+            meta_by_batch: dict[int, list] = {}
+            for r in chunk_meta:
+                meta_by_batch.setdefault(int(r["__k"]), []).append(r)
+            for k in range(c0, c_last + 1):
+                a = max(k * B, start)
+                b = (k + 1) * B
+                batch = log.filter((F.col(ordc) >= a) & (F.col(ordc) < b))
+                stats = self.apply_batch(
+                    batch, batch_id=k, meta_rows=meta_by_batch.get(k, [])
+                )
+                out.append(stats)
         return out

@@ -301,6 +301,8 @@ class PipelineSpec:
             batch_lsns=self.cdc.batch_lsns,
             n_buckets=self.cdc.n_buckets,
             derived_columns=self.cdc.derived_columns,
+            key=self.cdc.key,
+            ord_col=self.cdc.ord_col,
         ))
         engine.replay(log)
         return engine

@@ -81,3 +81,33 @@ def test_guard_watermarks_monotone(spark, tmp_path):
         if u in visible:
             # only visible if a HIGHER-lsn upsert won — never a lower one
             assert visible[u] >= 100
+
+
+def test_current_version_single_listdir_per_lifetime(spark, tmp_path, monkeypatch):
+    """The commit-log max version is cached: a whole replay (init + N
+    merges, each consulting the version repeatedly) scans the log directory
+    exactly once per SnapshotTable lifetime; _commit advances the cache."""
+    import os as _os
+
+    from hyped_spark.lake import table as table_mod
+    from hyped_spark.plans.replay import ReplayConfig, ReplayEngine
+    from hyped_spark.sources.synthetic import binlog
+
+    calls = {"n": 0}
+    real = _os.listdir
+
+    def counting(p="."):
+        if table_mod._LOG_DIR in str(p):
+            calls["n"] += 1
+        return real(p)
+
+    monkeypatch.setattr(table_mod.os, "listdir", counting)
+    eng = ReplayEngine(spark, ReplayConfig(
+        table_path=str(tmp_path / "t"), metrics_path=str(tmp_path / "m"),
+        batch_lsns=300, n_buckets=4))
+    stats = eng.replay(binlog(spark, 900, 40))
+    assert sum(not s.skipped_replay for s in stats) == 3
+    assert calls["n"] == 1, f"log dir scanned {calls['n']} times"
+    # a fresh handle on the same path still sees the committed state
+    t2 = table_mod.SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4)
+    assert t2.current_version() == eng.table.current_version()

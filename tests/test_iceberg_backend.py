@@ -10,6 +10,7 @@ DataFrames.
 from __future__ import annotations
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from hyped_spark.lake.iceberg_backend import (
     BATCH_PROP,
@@ -83,3 +84,40 @@ def test_build_merge_source_lww_and_tombstones(spark):
     assert rows["b"]["lsn"] == 5 and rows["b"][TOMBSTONE] is True
     assert rows["c"][TOMBSTONE] is False
     assert "op" not in src.columns
+
+
+def test_purge_tombstones_sql_respects_watermark():
+    from hyped_spark.lake.iceberg_backend import (
+        purge_tombstones_sql,
+        rewrite_data_files_sql,
+    )
+
+    sql = purge_tombstones_sql("lake.db.pages", low_watermark=5000)
+    # only APPLIED tombstones strictly below the low watermark are purged:
+    # a newer tombstone must stay to suppress late lower-lsn updates
+    assert sql == (
+        "DELETE FROM lake.db.pages WHERE __tombstone AND lsn < 5000"
+    )
+    custom = purge_tombstones_sql("lake.db.pages", 7, ord_col="seq")
+    assert "seq < 7" in custom and TOMBSTONE in custom
+    call = rewrite_data_files_sql("lake.db.pages")
+    assert call == (
+        "CALL lake.system.rewrite_data_files(table => 'lake.db.pages')"
+    )
+
+
+def test_purge_semantics_on_dataframe(spark):
+    """Run the purge predicate itself (as a filter complement) on a plain
+    DataFrame: rows the DELETE would remove are exactly the old applied
+    tombstones; newer tombstones and all live rows survive."""
+    rows = [
+        ("a", 10, False),   # live, old
+        ("b", 20, True),    # tombstone below watermark -> purged
+        ("c", 6000, True),  # tombstone at/above watermark -> kept
+        ("d", 5000, True),  # boundary: NOT purged (strict <)
+        ("e", 7000, False), # live, new
+    ]
+    df = spark.createDataFrame(rows, f"url string, lsn long, {TOMBSTONE} boolean")
+    low = 5000
+    kept = df.filter(~(F.col(TOMBSTONE) & (F.col("lsn") < low)))
+    assert {r.url for r in kept.collect()} == {"a", "c", "d", "e"}

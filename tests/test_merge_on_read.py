@@ -94,6 +94,35 @@ def test_cow_merge_compacts_touched_mor_buckets(spark, tmp_path):
                for b in touched if b in c["buckets"])
 
 
+def test_mor_equal_ord_tie_resolves_to_newest_fragment(spark, tmp_path):
+    """Duplicate (key, ord) events delivered in different epochs with
+    DIFFERENT payloads (possible under guard='batch_id') must resolve to
+    the newest fragment — deterministically, on every scan."""
+    from hyped_spark.lake.table import SnapshotTable
+    from hyped_spark.plans.replay import target_schema
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4)
+    t.init_empty(target_schema())
+    schema = "url string, lsn long, warc_ts timestamp, html binary, lang string, op string"
+    e0 = spark.createDataFrame(
+        [("a", 10, None, b"<html><body>first epoch</body></html>", "en", "upsert")],
+        schema,
+    )
+    e1 = spark.createDataFrame(
+        [("a", 10, None, b"<html><body>second epoch</body></html>", "en", "upsert")],
+        schema,
+    )
+    t.merge_events(e0, batch_id=0, guard="batch_id", merge_mode="mor",
+                   transform=ReplayEngine._extract_transform)
+    t.merge_events(e1, batch_id=1, guard="batch_id", merge_mode="mor",
+                   transform=ReplayEngine._extract_transform)
+    assert t._needs_resolve(t.current_commit())
+    first = t.read().collect()
+    assert len(first) == 1 and "second epoch" in first[0].text
+    # stable across scans of the same snapshot
+    assert [tuple(r) for r in t.read().collect()] == [tuple(r) for r in first]
+
+
 def test_mor_rejects_unknown_mode(spark, tmp_path):
     from hyped_spark.lake.table import SnapshotTable
     from hyped_spark.plans.replay import target_schema

@@ -107,6 +107,42 @@ def test_pipeline_spec_cdc_sink(spark, tmp_path):
     assert a.equals(b)
 
 
+def test_cdc_custom_key_and_ord(spark, tmp_path):
+    """CdcSpec.key / ord_col must actually reach the engine (they were
+    silently ignored): a log keyed doc_id/seq replays to the same state as
+    the default url/lsn replay on the unrenamed log."""
+    from hyped_spark.plans.replay import ReplayConfig, ReplayEngine
+    from hyped_spark.plans.spec import CdcSpec, PipelineSpec, SourceSpec
+    from hyped_spark.sources.synthetic import binlog
+
+    log_path = str(tmp_path / "log")
+    (binlog(spark, 600, 50)
+     .withColumnRenamed("url", "doc_id")
+     .withColumnRenamed("lsn", "seq")
+     .write.parquet(log_path))
+
+    spec = PipelineSpec(
+        source=SourceSpec(format="parquet", path=log_path),
+        stages=[],
+        cdc=CdcSpec(table_path=str(tmp_path / "t"),
+                    metrics_path=str(tmp_path / "m"),
+                    key="doc_id", ord_col="seq",
+                    batch_lsns=300, n_buckets=8),
+    )
+    engine = PipelineSpec.from_json(spec.to_json()).run_cdc(spark)
+    got = engine.table.read()
+    assert {"doc_id", "seq"} <= set(got.columns)
+
+    direct = ReplayEngine(spark, ReplayConfig(
+        table_path=str(tmp_path / "t2"), metrics_path=str(tmp_path / "m2"),
+        batch_lsns=300, n_buckets=8))
+    direct.replay(binlog(spark, 600, 50))
+    a = (got.withColumnRenamed("doc_id", "url").withColumnRenamed("seq", "lsn")
+         .orderBy("url").toPandas())
+    b = direct.table.read().orderBy("url").toPandas()
+    assert a.equals(b)
+
+
 # ---------------- typed IO ----------------
 
 
