@@ -111,8 +111,46 @@ def stream_once(spark: SparkSession, cfg: StreamConfig,
     return engine
 
 
+def infer_stream_schema(spark: SparkSession,
+                        source_dir: str) -> T.StructType | None:
+    """Widest schema across the segment dirs currently present, folded with
+    the engine's own evolution rules (column adds + safe type widens —
+    parquet mergeSchema would refuse an int→long widen). None when no
+    segments exist yet."""
+    import glob
+
+    from hyped_spark.schema import apply_diff, diff_schemas
+
+    segs = sorted(glob.glob(os.path.join(source_dir, "seg*")))
+    if not segs:
+        return None
+    cur = spark.read.parquet(segs[0]).schema
+    for s in segs[1:]:
+        cur = apply_diff(cur, diff_schemas(cur, spark.read.parquet(s).schema))
+    return cur
+
+
 def run_stream(spark: SparkSession, cfg: StreamConfig,
                schema: T.StructType | None = None) -> ReplayEngine:
-    """Public entry: drain the source dir (restart-safe; call again after a
-    crash or after new segments/schema epochs land)."""
-    return stream_once(spark, cfg, schema)
+    """Public entry: loop ``stream_once`` until the source dir is drained.
+
+    Each pass reads with the widest schema across the segments present
+    (``infer_stream_schema``) unless an explicit ``schema`` pins it — a
+    mid-stream type widen therefore lands as a stream RESTART with the
+    widened schema (the standard registry-driven CDC pattern) without the
+    caller having to know to call again. Termination: a pass that commits
+    no new snapshot under an unchanged schema means nothing is left to
+    drain. Restart-safe: call again after a crash or after new segments
+    land — the streaming checkpoint skips consumed files."""
+    engine = None
+    prev: tuple | None = None
+    while True:
+        s = schema if schema is not None else infer_stream_schema(
+            spark, cfg.source_dir
+        )
+        engine = stream_once(spark, cfg, s)
+        cur = (s.json() if s is not None else None,
+               engine.table.current_version())
+        if cur == prev:
+            return engine
+        prev = cur

@@ -89,3 +89,38 @@ def test_stream_resume_after_new_segments(spark, tmp_path):
     e = _normalize(engine.table.read().toPandas())
     r = _normalize(ref)
     pd.testing.assert_frame_equal(e, r, check_dtype=False)
+
+
+def test_stream_schema_widen_via_restart(spark, tmp_path):
+    """A mid-stream type widen (fetch_status int→long) drains through
+    run_stream alone: the second call infers the widened schema from the
+    new segment and restarts the query from the checkpoint — the streaming
+    twin of the batch path's test_schema_evolution_segments."""
+    import os
+
+    from pyspark.sql import types as T
+
+    cfg = _cfg(tmp_path)
+    os.makedirs(cfg.source_dir, exist_ok=True)
+    staging = str(tmp_path / "staging")
+    paths = write_binlog_segments(spark, staging, N_EVENTS, N_URLS)
+
+    # wave 1: the pre-widen epochs (no fetch_status; fetch_status int)
+    for p in paths[:2]:
+        os.rename(p, os.path.join(cfg.source_dir, os.path.basename(p)))
+    eng = run_stream(spark, cfg)
+    assert isinstance(eng.table.schema()["fetch_status"].dataType,
+                      T.IntegerType)
+
+    # wave 2: the widened epoch lands; same entry point, no explicit schema
+    os.rename(paths[2], os.path.join(cfg.source_dir,
+                                     os.path.basename(paths[2])))
+    engine = run_stream(spark, cfg)
+    assert isinstance(engine.table.schema()["fetch_status"].dataType,
+                      T.LongType)
+
+    ref = _normalize(replay_reference(binlog(spark, N_EVENTS, N_URLS).toPandas()))
+    got = _normalize(engine.table.read().toPandas())
+    got["fetch_status"] = got["fetch_status"].astype("Int64")
+    ref["fetch_status"] = ref["fetch_status"].astype("Int64")
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
