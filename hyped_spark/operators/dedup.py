@@ -112,16 +112,79 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  **kwargs) -> DataFrame:
-    """Drop near-duplicates: for each verified pair keep the smaller id.
+def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+    """(id, component) for every id in the pair graph — iterative min-label
+    propagation (each round: every vertex takes the min label in its
+    neighborhood; converges in graph-diameter rounds, and near-dup clusters
+    are shallow, so ``max_iters=10`` covers any realistic corpus).
 
-    Union-find-free approximation standard in web dedup: a doc is dropped if
-    it is the greater id in ANY verified pair (connected components would
-    need iteration; this one-pass rule is what large corpus pipelines use).
+    Per round: one hash join (edges × labels) + one map-side-combinable
+    min-aggregate — the simplified large-star/small-star shape. Labels are
+    persisted per round and the previous round unpersisted, so the plan
+    and lineage stay O(1) deep across rounds.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    lab = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    lab.count()  # materialize before the loop
+    for _ in range(max_iters):
+        prop = edges.join(
+            lab.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "component")
+        new_lab = (
+            lab.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_lab.join(lab.withColumnRenamed("component", "old"), "id")
+            .filter(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        lab.unpersist()
+        lab = new_lab
+        if changed == 0:
+            break
+    return lab
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  strategy: str = "onepass", cc_max_iters: int = 10,
+                  **kwargs) -> DataFrame:
+    """Drop near-duplicates over the verified MinHash pair graph.
+
+    - ``strategy="onepass"`` (default): a doc is dropped if it is the
+      greater id in ANY verified pair. Union-find-free, single anti-join —
+      the approximation standard in web dedup pipelines. Caveat: a star
+      component {A<B<C} with edges (A,C),(B,C) keeps BOTH A and B (two
+      representatives of one component).
+    - ``strategy="cc"``: true connected components (iterative min-label
+      propagation, :func:`connected_components`) — exactly one surviving
+      doc per component, the min id. Costs ``O(diameter)`` extra
+      shuffle rounds over the (small) pair graph only; the corpus itself
+      still moves once through the final anti-join.
     """
     pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if strategy == "cc":
+        comp = connected_components(pairs, max_iters=cc_max_iters)
+        losers = (
+            comp.filter(F.col("id") != F.col("component"))
+            .select(F.col("id").alias(id_col))
+        )
+    elif strategy == "onepass":
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    else:
+        raise ValueError(f"unknown dedup strategy: {strategy!r}")
     return df.join(losers, id_col, "left_anti")
 
 

@@ -261,3 +261,50 @@ def test_span_udfs_smoke(spark):
     assert r.spans.begins == [0, 2, 4] and r.spans.ends == [2, 4, 5]
     # query [3,9) overlaps token spans [0,5), [3,8), [8,10) -> idx span [0,3)
     assert r.idx.begins == [0] and r.idx.ends == [3]
+
+
+def test_connected_components_labels(spark):
+    """Min-label propagation: star and chain components converge to the
+    min id; disjoint components stay separate."""
+    from hyped_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 3, 0.9), (2, 3, 0.9),          # star centered on 3
+         (10, 11, 0.8), (11, 12, 0.8),      # chain
+         (20, 21, 0.7)],
+        "id_a long, id_b long, jaccard double",
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_minhash_dedup_cc_vs_onepass(spark):
+    """strategy='cc' keeps exactly the min id per connected component — a
+    subset of the one-pass keep-set (the one-pass rule can keep several
+    representatives of a star component)."""
+    from hyped_spark.operators.dedup import (
+        connected_components,
+        minhash_dedup,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark)
+    kept_cc = {r.doc_id for r in
+               minhash_dedup(docs, strategy="cc", min_jaccard=0.5)
+               .select("doc_id").collect()}
+    kept_1p = {r.doc_id for r in
+               minhash_dedup(docs, min_jaccard=0.5)
+               .select("doc_id").collect()}
+    assert kept_cc <= kept_1p
+
+    comp_rows = connected_components(
+        minhash_lsh_pairs(docs, min_jaccard=0.5)
+    ).collect()
+    comps: dict[int, list[int]] = {}
+    for r in comp_rows:
+        comps.setdefault(r.component, []).append(r.id)
+    assert comps, "fixture has no near-dup pairs — test is vacuous"
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    in_graph = {i for ids in comps.values() for i in ids}
+    expected = (all_ids - in_graph) | {min(ids) for ids in comps.values()}
+    assert kept_cc == expected
