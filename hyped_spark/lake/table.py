@@ -48,7 +48,11 @@ from hyped_spark.schema import SchemaDiff, align_to_schema, apply_diff, diff_sch
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
-_FRAG_FILE = "__frag_file"  # fragment file path, MOR tie-break (see _resolve_lww)
+# fragment snapshot ordinal (8-byte long, parsed from the zero-padded snap
+# dir in the file path at scan time) — MOR equal-ord tie-break; a compact
+# column instead of the path string so the merge shuffle carries 8 bytes,
+# and attached only when fragments actually exist (see _resolve_lww)
+_FRAG_ORD = "__frag_ord"
 
 # Deletes persist as tombstone rows (null payload, this flag set). This makes
 # the LWW merge COMMUTATIVE across microbatches: a late-delivered update with
@@ -190,19 +194,19 @@ class SnapshotTable:
         """Read-side LWW across MOR fragments: latest row per key wins
         (same window shape as the merge; hash-prefixed sort keys).
 
-        Secondary sort on the fragment file path (zero-padded snapNNN dirs →
-        lexicographic = snapshot order) makes equal-ord ties deterministic:
-        duplicate (key, ord) events delivered in different epochs with
-        differing payloads resolve to the NEWEST fragment on every scan."""
+        Secondary sort on the fragment snapshot ordinal makes equal-ord ties
+        deterministic: duplicate (key, ord) events delivered in different
+        epochs with differing payloads resolve to the NEWEST fragment on
+        every scan."""
         from pyspark.sql import Window
 
         w = Window.partitionBy(F.xxhash64(F.col(self.key)), self.key).orderBy(
-            F.col(self.ord_col).desc(), F.col(_FRAG_FILE).desc()
+            F.col(self.ord_col).desc(), F.col(_FRAG_ORD).desc()
         )
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn", _FRAG_FILE)
+            .drop("__rn", _FRAG_ORD)
         )
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -236,10 +240,10 @@ class SnapshotTable:
                      with_file: bool = False) -> DataFrame:
         """Read a set of bucket dirs, grouped by written schema id (one scan
         per schema group, so the plan stays small with thousands of buckets).
-        ``with_file`` carries each row's source file path (``_metadata``)
-        for the MOR tie-break."""
+        ``with_file`` carries each row's fragment snapshot ordinal (parsed
+        from ``_metadata.file_path`` at scan time) for the MOR tie-break."""
         ts_field = T.StructField(_TOMBSTONE, T.BooleanType())
-        extra = [T.StructField(_FRAG_FILE, T.StringType())] if with_file else []
+        extra = [T.StructField(_FRAG_ORD, T.LongType())] if with_file else []
         target = T.StructType(list(schema.fields) + [ts_field] + extra)
         groups: dict[int, list[str]] = {}
         for info in infos:
@@ -258,7 +262,12 @@ class SnapshotTable:
                 )
                 df = self.spark.read.schema(phys).parquet(*paths)
                 if with_file:
-                    df = df.withColumn(_FRAG_FILE, F.col("_metadata.file_path"))
+                    df = df.withColumn(
+                        _FRAG_ORD,
+                        F.regexp_extract(
+                            F.col("_metadata.file_path"), r"snap(\d{10})", 1
+                        ).cast("long"),
+                    )
                 parts.append(align_to_schema(df, target))
             out = parts[0]
             for p in parts[1:]:
@@ -365,14 +374,13 @@ class SnapshotTable:
             raise ValueError("nothing to compact")
         commit = self._read_commit(cur_version)
         schema = T.StructType.fromJson(commit["schemas"][-1])
+        needs = self._needs_resolve(commit)
         live = self._read_groups(
             commit, list(commit["buckets"].values()), schema,
-            keep_tombstones=True, with_file=True,
+            keep_tombstones=True, with_file=needs,
         )
-        if self._needs_resolve(commit):
+        if needs:
             live = self._resolve_lww(live)
-        else:
-            live = live.drop(_FRAG_FILE)
         live = (
             live.filter(~F.col(_TOMBSTONE)).drop(_TOMBSTONE)
             .withColumn("__bucket", bucket_expr(self.key, self.n_buckets))
@@ -624,10 +632,15 @@ class SnapshotTable:
             # read or rewritten; the window below dedups the batch itself
             unioned = src
         else:
+            # the fragment ordinal is only needed (and only carried through
+            # the payload shuffle) when MOR fragments actually exist —
+            # COW-only steady state pays nothing for the tie-break
+            frag_ties = self._needs_resolve(commit)
             current = self._read_buckets(
-                commit, touched, new_schema, with_file=True
+                commit, touched, new_schema, with_file=frag_ties
             ).withColumn("__src", F.lit(False))
-            src = src.withColumn(_FRAG_FILE, F.lit(None).cast("string"))
+            if frag_ties:
+                src = src.withColumn(_FRAG_ORD, F.lit(None).cast("long"))
             unioned = src.unionByName(current)
         unioned = unioned.withColumn(
             "__bucket", bucket_expr(self.key, self.n_buckets)
@@ -644,17 +657,18 @@ class SnapshotTable:
         # still satisfies the clustering (subset rule) — no extra exchange.
         # equal-ord tie-break is deterministic: the batch delivery beats a
         # carried row (__src desc), and among carried MOR fragments the
-        # newest fragment file wins (zero-padded snap dirs sort by snapshot)
+        # newest fragment ordinal wins (a COW bucket holds ≤1 row per key,
+        # so carried-vs-carried ties only exist when fragments do)
         tie = [F.col("__src").desc()]
-        if merge_mode != "mor":
-            tie.append(F.col(_FRAG_FILE).desc())
+        if merge_mode != "mor" and frag_ties:
+            tie.append(F.col(_FRAG_ORD).desc())
         w = Window.partitionBy(
             "__bucket", F.xxhash64(F.col(self.key)), self.key
         ).orderBy(F.col(self.ord_col).desc(), *tie)
         survivors = (
             prepped.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn", _FRAG_FILE)
+            .drop("__rn", _FRAG_ORD)
         )
         if transform is not None:
             survivors = transform(survivors)

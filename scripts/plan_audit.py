@@ -125,6 +125,23 @@ def main() -> None:
         ("extraction is Arrow-vectorized", "ArrowEvalPython" in p),
     ]))
 
+    # 8. banded embedding near-dup: ids-only band self-join (no cartesian),
+    # vectors joined back ONCE per side after the distinct-pair dedup
+    p = plan_of(q["embedding_neardup"](spark, SF))
+    sections.append(("embedding_neardup (banded multi-table sign-LSH)", p, [
+        ("no cartesian product", "CartesianProduct" not in p),
+        ("candidate join is a hash join on (band, bucket)",
+         "Join" in p and "CartesianProduct" not in p),
+    ]))
+
+    # 9. IVF ANN: bounded training (driver-side on a hash sample) + a cell
+    # equi-join with the exploded query side broadcast
+    p = plan_of(q["ann_topk_ivf"](spark, SF))
+    sections.append(("ann_topk_ivf (cell equi-join, sampled training)", p, [
+        ("no cartesian product", "CartesianProduct" not in p),
+        ("query side broadcast", "BroadcastHashJoin" in p),
+    ]))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)\n"]
     all_ok = True
     for title, plan, checks in sections:
