@@ -115,6 +115,7 @@ def _minhash_dedup(p: dict) -> Stage:
     return lambda df: minhash_dedup(
         df, p.get("text_col", "text"), p.get("id_col", "doc_id"),
         min_jaccard=p.get("min_jaccard", 0.8),
+        strategy=p.get("strategy", "onepass"),
     )
 
 

@@ -174,7 +174,7 @@ All repetitions (sec, events/sec):
 
 - Spark {pyspark.__version__}, local mode (single JVM, N executor threads)
 - shuffle partitions = cores; AQE on; Arrow pandas UDFs for extraction
-- table buckets = cores; salt fan-out 8; batch size {args.batch_lsns:,} LSNs
+- table buckets = {args.buckets} (fixed across levels); salt fan-out 8; batch size {args.batch_lsns:,} LSNs
 - host: 32 cores, 125 GiB RAM
 
 ## Extrapolation to 10^10 events (documented method)
