@@ -436,6 +436,31 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by portable hash of
+    doc_id — stable across runs, engines, and cluster sizes; a pure
+    projection, no shuffle."""
+    from hyped_spark.operators.curation import split_by_hash
+
+    d = _load(spark, sf_dir, "documents")
+    return split_by_hash(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk LLM pretraining packing: documents concatenated in
+    doc_id order, cut every 512 tokens; one row per (doc, chunk)
+    intersection with global token offsets. Distributed prefix-sum — no
+    single-partition global window."""
+    from hyped_spark.operators.curation import pack_offsets
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    return pack_offsets(d, "n_tokens", "doc_id", chunk_tokens=512)
+
+
 def seq_val_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SequenceValueHistogram analogue (A5): binned histogram over flattened
     array values (here: per-word lengths of part names)."""
@@ -559,6 +584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": embedding_neardup,
         "seq_val_hist": seq_val_hist,
         "disc_seq_val_hist": disc_seq_val_hist,
+        "hash_split_docs": hash_split_docs,
+        "pack_sequences_docs": pack_sequences_docs,
         "quality_scores": quality_scores,
         "asof_join_events": asof_join_events,
         "range_join_parts": range_join_parts,
@@ -729,6 +756,30 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs_docs": _jaccard_oracle(min_jaccard=0.4),
         "minhash_pairs_docs": _minhash_oracle(min_jaccard=0.4),
         "simhash_pairs_docs": _simhash_oracle(max_hamming=3),
+        "hash_split_docs": _hash_split_oracle(),
+        "pack_sequences_docs": """
+            WITH t AS (
+                SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n,
+                       CAST(SUM(n) OVER (ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n
+                            AS BIGINT) AS b
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(b // 512 + idx - 1 AS BIGINT) AS chunk_id,
+                   CAST(greatest(b, (b // 512 + idx - 1) * 512) AS BIGINT)
+                       AS slice_begin,
+                   CAST(least(b + n, (b // 512 + idx) * 512) AS BIGINT)
+                       AS slice_end
+            FROM (
+                SELECT doc_id, n, b,
+                       unnest(range(1, (b + n - 1) // 512 - b // 512 + 2)) AS idx
+                FROM c WHERE n > 0
+            )
+        """,
         "embedding_neardup": """
             WITH v AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -877,6 +928,16 @@ def _jaccard_oracle(min_jaccard: float) -> str:
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
               / len(list_distinct(list_concat(a.shingles, b.shingles))) >= {min_jaccard}
     """
+
+
+def _hash_split_oracle() -> str:
+    """DuckDB twin of split_by_hash (md5 mode, 80/10/10)."""
+    from hyped_spark.operators.curation import split_by_hash_sql
+
+    case = split_by_hash_sql(
+        "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return f"SELECT doc_id, {case} AS split FROM documents"
 
 
 _H60 = "CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"

@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "disc_seq_val_hist",
     "asof_join_events",
     "range_join_parts",
+    "hash_split_docs",
+    "pack_sequences_docs",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

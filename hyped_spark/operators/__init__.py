@@ -38,3 +38,7 @@ from hyped_spark.operators.similarity import (  # noqa: F401
     lsh_topk,
 )
 from hyped_spark.operators.joins import asof_join, range_join  # noqa: F401
+from hyped_spark.operators.curation import (  # noqa: F401
+    pack_offsets,
+    split_by_hash,
+)

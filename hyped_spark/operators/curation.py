@@ -1,0 +1,137 @@
+"""Dataset-curation operators: deterministic splits and sequence packing.
+
+Two operations every large-scale training-data pipeline needs between
+"corpus" and "training run":
+
+- ``split_by_hash``: assign each row a stable train/val/test label from a
+  portable hash of its key — reproducible across runs, engines, and
+  cluster sizes (no sampling state), and new rows land in a split without
+  reshuffling old ones.
+- ``pack_offsets``: concat-then-chunk sequence packing — documents are
+  concatenated in id order and the token stream is cut every
+  ``chunk_tokens`` tokens (the standard LLM pretraining packing). The
+  result maps each document to the chunk(s) it lands in with global token
+  offsets.
+
+Scale notes: the packing prefix-sum is the textbook distributed scan —
+range-partition by id, per-partition cumulative sum (window partitioned by
+partition id, so no single-partition global window), then add exclusive
+per-partition offsets computed from an ``n_partitions``-row driver rollup.
+The split is a pure per-row projection (no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hyped_spark.functions.hashing import h64_col
+
+_SPLIT_MOD = 10_000
+
+
+def split_by_hash(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    out_col: str = "split",
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Deterministic dataset split by hash bucket.
+
+    ``bucket = h64(key) % 10000``; each label owns a contiguous bucket
+    range sized by its fraction (cumulative, in the given dict order).
+    Fractions must sum to ~1. ``hash_mode='md5'`` (default) is portable —
+    the DuckDB oracle reproduces the assignment bit-for-bit; pass
+    ``'xxhash64'`` for the cheaper Spark-only variant.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = F.pmod(h64_col(F.col(key_col).cast("string"), hash_mode),
+                    F.lit(_SPLIT_MOD))
+    expr = None
+    acc = 0.0
+    for label, frac in fractions.items():
+        acc += frac
+        cut = int(round(acc * _SPLIT_MOD))
+        cond = bucket < F.lit(cut)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return df.withColumn(out_col, expr)
+
+
+def split_by_hash_sql(key_expr: str, fractions: dict[str, float]) -> str:
+    """DuckDB CASE expression mirroring :func:`split_by_hash` (md5 mode)."""
+    from hyped_spark.functions.hashing import h64_sql
+
+    b = f"({h64_sql(f'CAST({key_expr} AS VARCHAR)')} % {_SPLIT_MOD})"
+    acc = 0.0
+    arms = []
+    for label, frac in fractions.items():
+        acc += frac
+        arms.append(f"WHEN {b} < {int(round(acc * _SPLIT_MOD))} THEN '{label}'")
+    return "CASE " + " ".join(arms) + " END"
+
+
+def pack_offsets(
+    df: DataFrame,
+    len_col: str,
+    id_col: str = "doc_id",
+    chunk_tokens: int = 2048,
+) -> DataFrame:
+    """Concat-then-chunk packing assignment.
+
+    Documents ordered by ``id_col`` are conceptually concatenated into one
+    token stream cut every ``chunk_tokens``. Returns one row per
+    (document, chunk) intersection::
+
+        (id_col, chunk_id, slice_begin, slice_end)
+
+    with global token offsets (a document straddling a cut appears in both
+    chunks, clipped). Zero-length documents produce no rows. Output is a
+    pure function of the input (independent of partitioning): offsets come
+    from a prefix sum over the total id order, computed distributed —
+    range repartition, per-partition window cumsum, plus exclusive
+    partition offsets from an ``n_partitions``-row collect.
+    """
+    d = df.select(F.col(id_col), F.col(len_col).cast("long").alias("__n"))
+    d = d.repartitionByRange(F.col(id_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(id_col)
+    d = d.withColumn("__local_end", F.sum("__n").over(w))
+    totals = sorted(
+        d.groupBy("__pid").agg(F.max("__local_end").alias("t")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    acc = 0
+    offs = []
+    for r in totals:
+        offs.append((int(r["__pid"]), acc))
+        acc += int(r["t"])
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offs, "__pid int, __off long")
+    B = chunk_tokens
+    out = (
+        d.join(F.broadcast(off_df), "__pid")
+        .withColumn("__end", F.col("__local_end") + F.col("__off"))
+        .withColumn("__begin", F.col("__end") - F.col("__n"))
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "chunk_id",
+            # exact integer division (float `/` loses precision past 2^53)
+            F.explode(
+                F.sequence(F.expr(f"__begin DIV {B}"),
+                           F.expr(f"(__end - 1) DIV {B}"))
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.greatest(F.col("__begin"), F.col("chunk_id") * B)
+             .alias("slice_begin"),
+            F.least(F.col("__end"), (F.col("chunk_id") + 1) * B)
+             .alias("slice_end"),
+        )
+    )
+    return out

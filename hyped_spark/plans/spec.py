@@ -185,6 +185,14 @@ def _resolve_overlaps(p: dict) -> Stage:
     )
 
 
+@register("split_by_hash")
+def _split_by_hash(p: dict) -> Stage:
+    from hyped_spark.operators.curation import split_by_hash
+    return lambda df: split_by_hash(
+        df, p["key"], p["fractions"], out_col=p.get("out", "split"),
+    )
+
+
 @register("repartition")
 def _repartition(p: dict) -> Stage:
     cols = [F.col(c) for c in p.get("columns", [])]

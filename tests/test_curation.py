@@ -1,0 +1,78 @@
+"""Curation operators: deterministic splits and concat-then-chunk packing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_split_by_hash_properties(spark):
+    from hyped_spark.operators.curation import split_by_hash
+
+    docs = _docs(spark)
+    n = docs.count()
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_by_hash(docs, "doc_id", fr)
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n          # every row gets a label
+    # proportions approximate the fractions (hash-uniform; loose bound)
+    assert abs(counts.get("train", 0) / n - 0.8) < 0.1
+    # deterministic across calls
+    a = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+    b = {r.doc_id: r.split
+         for r in split_by_hash(docs, "doc_id", fr).select("doc_id", "split").collect()}
+    assert a == b
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_by_hash(docs, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_pack_offsets_invariants(spark):
+    from hyped_spark.operators.curation import pack_offsets
+
+    d = _docs(spark).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    B = 64
+    rows = pack_offsets(d, "n_tokens", "doc_id", chunk_tokens=B).collect()
+    total = d.agg(F.sum("n_tokens")).collect()[0][0]
+
+    # slices tile the concatenated stream exactly: lengths sum to the
+    # total token count and per-doc slices are contiguous
+    assert sum(r.slice_end - r.slice_begin for r in rows) == total
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    starts = {}
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_id)
+        for a, b in zip(rs, rs[1:]):
+            assert a.slice_end == b.slice_begin          # contiguous
+            assert b.chunk_id == a.chunk_id + 1
+        starts[doc] = rs[0].slice_begin
+        for r in rs:                                     # inside the chunk
+            assert r.chunk_id * B <= r.slice_begin < r.slice_end <= (r.chunk_id + 1) * B
+    # documents appear in id order in the stream
+    ordered = [starts[k] for k in sorted(starts)]
+    assert ordered == sorted(ordered)
+
+
+def test_pack_offsets_partition_independent(spark):
+    """The packing is a pure function of the data — identical output no
+    matter how the input frame happens to be partitioned."""
+    from hyped_spark.operators.curation import pack_offsets
+
+    d = _docs(spark).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    a = sorted(map(tuple, pack_offsets(d, "n_tokens", chunk_tokens=128).collect()))
+    b = sorted(map(tuple, pack_offsets(
+        d.repartition(7), "n_tokens", chunk_tokens=128).collect()))
+    assert a == b
