@@ -76,3 +76,37 @@ def test_pack_offsets_partition_independent(spark):
     b = sorted(map(tuple, pack_offsets(
         d.repartition(7), "n_tokens", chunk_tokens=128).collect()))
     assert a == b
+
+
+def test_pack_offsets_matches_python_reference(spark):
+    """Randomized (seeded) inputs vs an obviously-correct sequential
+    reference: non-contiguous ids, zero-length docs, docs longer than a
+    chunk, several chunk sizes."""
+    import random
+
+    from hyped_spark.operators.curation import pack_offsets
+
+    rng = random.Random(42)
+    for case in range(5):
+        B = rng.choice([7, 32, 100])
+        ids = sorted(rng.sample(range(10_000), rng.randint(5, 60)))
+        lens = [rng.choice([0, 1, rng.randint(2, 3 * B)]) for _ in ids]
+
+        expected = []
+        pos = 0
+        for i, n in zip(ids, lens):
+            if n == 0:
+                continue
+            start, end = pos, pos + n
+            for c in range(start // B, (end - 1) // B + 1):
+                expected.append(
+                    (i, c, max(start, c * B), min(end, (c + 1) * B))
+                )
+            pos = end
+
+        df = spark.createDataFrame(
+            list(zip(ids, lens)), "doc_id long, n long"
+        )
+        got = sorted(map(tuple,
+                         pack_offsets(df, "n", chunk_tokens=B).collect()))
+        assert got == sorted(expected), f"case {case} (B={B})"

@@ -308,3 +308,41 @@ def test_minhash_dedup_cc_vs_onepass(spark):
     in_graph = {i for ids in comps.values() for i in ids}
     expected = (all_ids - in_graph) | {min(ids) for ids in comps.values()}
     assert kept_cc == expected
+
+
+def test_connected_components_matches_union_find(spark):
+    """Seeded random graphs vs a driver-side union-find reference."""
+    import random
+
+    from hyped_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    for case in range(2):
+        n = rng.randint(5, 40)
+        edges = sorted({tuple(sorted(rng.sample(range(n), 2)))
+                        for _ in range(rng.randint(1, 2 * n))})
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        expected = {}
+        for v in {v for e in edges for v in e}:
+            root = find(v)
+            expected.setdefault(root, set()).add(v)
+        want = {v: min(members) for members in expected.values()
+                for v in members}
+
+        pairs = spark.createDataFrame(
+            [(a, b, 1.0) for a, b in edges],
+            "id_a long, id_b long, jaccard double",
+        )
+        got = {r.id: r.component
+               for r in connected_components(pairs).collect()}
+        assert got == want, f"case {case}"
