@@ -461,6 +461,24 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_offsets(d, "n_tokens", "doc_id", chunk_tokens=512)
 
 
+def async_enrich_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Async per-row enrichment (reference F3/R9 pattern): prompts driven
+    through the asyncio mapInPandas slot with the deterministic offline
+    transport — whose output is SQL-expressible, so even the async path
+    has a full oracle."""
+    from hyped_spark.operators.async_map import FakeChatTransport, chat_completion
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("summarize: "), F.substring(F.col("text"), 1, 40))
+         .alias("prompt"),
+    )
+    out = chat_completion(
+        d, transport_factory=lambda: FakeChatTransport(), concurrency=8
+    )
+    return out.select("doc_id", "completion", "n_attempts")
+
+
 def seq_val_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SequenceValueHistogram analogue (A5): binned histogram over flattened
     array values (here: per-word lengths of part names)."""
@@ -586,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disc_seq_val_hist": disc_seq_val_hist,
         "hash_split_docs": hash_split_docs,
         "pack_sequences_docs": pack_sequences_docs,
+        "async_enrich_docs": async_enrich_docs,
         "quality_scores": quality_scores,
         "asof_join_events": asof_join_events,
         "range_join_parts": range_join_parts,
@@ -757,6 +776,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_docs": _minhash_oracle(min_jaccard=0.4),
         "simhash_pairs_docs": _simhash_oracle(max_hamming=3),
         "hash_split_docs": _hash_split_oracle(),
+        "async_enrich_docs": """
+            SELECT doc_id,
+                   'fake-model:' || md5('summarize: ' || substr(text, 1, 40))
+                       AS completion,
+                   CAST(1 AS INTEGER) AS n_attempts
+            FROM documents
+        """,
         "pack_sequences_docs": """
             WITH t AS (
                 SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
