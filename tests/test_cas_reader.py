@@ -1,0 +1,110 @@
+"""UIMA CAS reader: XMI parsing, annotation order, nested refs, skip-bad."""
+
+from __future__ import annotations
+
+import pytest
+
+TYPESYSTEM = """<?xml version="1.0" encoding="UTF-8"?>
+<typeSystemDescription xmlns="http://uima.apache.org/resourceSpecifier">
+  <types>
+    <typeDescription>
+      <name>com.example.Token</name>
+      <supertypeName>uima.tcas.Annotation</supertypeName>
+      <features>
+        <featureDescription>
+          <name>pos</name>
+          <rangeTypeName>uima.cas.String</rangeTypeName>
+        </featureDescription>
+      </features>
+    </typeDescription>
+    <typeDescription>
+      <name>com.example.Entity</name>
+      <supertypeName>uima.tcas.Annotation</supertypeName>
+      <features>
+        <featureDescription>
+          <name>label</name>
+          <rangeTypeName>uima.cas.String</rangeTypeName>
+        </featureDescription>
+        <featureDescription>
+          <name>head</name>
+          <rangeTypeName>com.example.Token</rangeTypeName>
+        </featureDescription>
+      </features>
+    </typeDescription>
+  </types>
+</typeSystemDescription>
+"""
+
+XMI = """<?xml version="1.0" encoding="UTF-8"?>
+<xmi:XMI xmlns:xmi="http://www.omg.org/XMI"
+         xmlns:cas="http:///uima/cas.ecore"
+         xmlns:example="http:///com/example.ecore" xmi:version="2.0">
+  <cas:NULL xmi:id="0"/>
+  <example:Token xmi:id="7" sofa="1" begin="6" end="11" pos="NN"/>
+  <example:Token xmi:id="3" sofa="1" begin="0" end="5" pos="DT"/>
+  <example:Entity xmi:id="9" sofa="1" begin="0" end="11" label="THING" head="7"/>
+  <cas:Sofa xmi:id="1" sofaNum="1" sofaID="_InitialView"
+            mimeType="text" sofaString="hello world"/>
+</xmi:XMI>
+"""
+
+
+@pytest.fixture()
+def cas_dir(tmp_path):
+    (tmp_path / "ts.xml").write_text(TYPESYSTEM)
+    d = tmp_path / "cas"
+    d.mkdir()
+    (d / "doc1.xmi").write_text(XMI)
+    (d / "doc2.xmi").write_text(XMI.replace("hello world", "second doc"))
+    (d / "broken.xmi").write_text("<xmi:XMI this is not xml")
+    (d / "notes.txt").write_text("ignored — not .xmi")
+    return tmp_path
+
+
+def test_read_cas_dataset(spark, cas_dir):
+    from hyped_spark.sources.cas import read_cas_dataset
+
+    df = read_cas_dataset(
+        spark, str(cas_dir / "cas"), str(cas_dir / "ts.xml"),
+        ["com.example.Token", "com.example.Entity"],
+    )
+    rows = {r["meta"]["file_path"].split("/")[-1]: r for r in df.collect()}
+    # the corrupt file is skipped (log-and-skip), the .txt never scanned
+    assert set(rows) == {"doc1.xmi", "doc2.xmi"}
+
+    r = rows["doc1.xmi"]
+    assert r["sofa"] == "hello world"
+    # annotation order: begin asc (document order, not xmi order)
+    assert r["com.example.Token:begin"] == [0, 6]
+    assert r["com.example.Token:end"] == [5, 11]
+    assert r["com.example.Token:pos"] == ["DT", "NN"]
+    assert r["com.example.Entity:label"] == ["THING"]
+    # nested ref: Entity.head points at xmi:id=7 -> Token index 1
+    assert r["com.example.Entity:head"] == [1]
+    assert rows["doc2.xmi"]["sofa"] == "second doc"
+
+
+def test_cas_unknown_type_raises(spark, cas_dir):
+    from hyped_spark.sources.cas import read_cas_dataset
+
+    with pytest.raises(TypeError, match="not found in typesystem"):
+        read_cas_dataset(
+            spark, str(cas_dir / "cas"), str(cas_dir / "ts.xml"),
+            ["com.example.Nope"],
+        )
+
+
+def test_cas_schema_static(spark, cas_dir):
+    from hyped_spark.sources.cas import cas_schema, load_typesystem
+
+    ts = load_typesystem(str(cas_dir / "ts.xml"))
+    schema = cas_schema(ts, ["com.example.Token"])
+    names = [f.name for f in schema.fields]
+    assert names == [
+        "sofa", "meta",
+        "com.example.Token:begin", "com.example.Token:end",
+        "com.example.Token:pos",
+    ]
+    # Entity.head (range = Token) only materializes when Token is requested
+    both = cas_schema(ts, ["com.example.Token", "com.example.Entity"])
+    assert "com.example.Entity:head" in [f.name for f in both.fields]
