@@ -271,3 +271,49 @@ def test_multimodal_plumbing(spark):
     # container — fake features require an explicit opt-in (fake=True)
     with pytest.raises(Exception, match="NotImplementedError|image"):
         decode_image_features(df, "image", "img").collect()
+
+
+def test_process_graph(spark):
+    """F7 ProcessGraph analogue: column-level dataflow with layers, built
+    from prepare-time empty-DF analysis only (no jobs)."""
+    from pyspark.sql import types as T
+
+    from hyped_spark.plans.graph import build_graph
+    from hyped_spark.plans.spec import PipelineSpec
+
+    spec = PipelineSpec(source=None, stages=[
+        {"op": "with_column", "name": "total", "expr": "price * qty"},
+        {"op": "filter", "condition": "total > 10"},
+        {"op": "select", "columns": ["id", "total"]},
+    ])
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("qty", T.LongType()),
+    ])
+    g = build_graph(spark, spec, schema)
+
+    by_label = {}
+    for n in g.nodes:
+        by_label.setdefault(n.label, []).append(n)
+    stages = sorted((n for n in g.nodes if n.kind == "stage"),
+                    key=lambda n: n.exec_index)
+    assert [s.label for s in stages] == ["with_column", "filter", "select"]
+
+    # with_column consumes price+qty from the inputs
+    wc = stages[0]
+    consumed = {f for s, d, feats in g.edges if d == wc.node_id for f in feats}
+    assert consumed == {"price", "qty"}
+    # filter consumes total, which with_column produced
+    fl = stages[1]
+    tot_edges = [(s, feats) for s, d, feats in g.edges if d == fl.node_id]
+    assert tot_edges == [(wc.node_id, ["total"])]
+    # layers = dataflow depth from feature producers (a pass-through stage
+    # does not re-produce its inputs, matching the reference semantics):
+    # select depends on id (layer 0) and total (produced at layer 1) -> 2
+    assert wc.layer == 1 and fl.layer == 2 and stages[2].layer == 2
+    outs = {n.label for n in g.nodes if n.kind == "output"}
+    assert outs == {"id", "total"}
+    assert g.num_layers >= 3 and g.max_width >= 3
+    dot = g.to_dot()
+    assert "digraph pipeline" in dot and '"with_column"' in dot
