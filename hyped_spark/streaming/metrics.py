@@ -16,6 +16,36 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
+def windowed_event_counts(
+    stream: DataFrame,
+    ts_col: str = "warc_ts",
+    window_dur: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Event-time windowed counts with late-data handling — the one place
+    this engine NEEDS a watermark (SURVEY §2.9: the LWW merge does not —
+    LSN order makes late updates harmless; tombstones make them commute).
+
+    Returns a streaming aggregate suitable for append-mode sinks: a window
+    emits exactly once, when the watermark (max observed event time minus
+    the configured delay) passes its end, and its state is evicted — so
+    state scales with windows-in-flight, not stream length. Note Spark's
+    watermark guarantee is one-sided: data less late than the delay is
+    always aggregated, but later data MAY still create (small, late)
+    windows rather than being dropped; pre-filter against a stamped
+    watermark if strictly-no-late output is required."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_dur))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            F.col("n"),
+        )
+    )
+
+
 def batch_summary(metrics: DataFrame) -> DataFrame:
     """Per-batch rollup: offset range, rows, latency, events/sec, skew.
 

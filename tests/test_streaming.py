@@ -124,3 +124,63 @@ def test_stream_schema_widen_via_restart(spark, tmp_path):
     got["fetch_status"] = got["fetch_status"].astype("Int64")
     ref["fetch_status"] = ref["fetch_status"].astype("Int64")
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_windowed_counts_watermark_bounds_state(spark, tmp_path):
+    """Event-time windowed metric: append-mode, each window emits exactly
+    once when the watermark passes its end, counts are exact, and closed
+    windows are EVICTED — final state holds only the open window(s)."""
+    import os
+    from datetime import datetime
+
+    from hyped_spark.streaming.metrics import windowed_event_counts
+
+    src = tmp_path / "segs"
+    src.mkdir()
+
+    def seg(name, ts_list, mtime):
+        df = spark.createDataFrame(
+            [(datetime(2024, 1, 1, *t), 1) for t in ts_list],
+            "ts timestamp, v long",
+        )
+        p = str(src / name)
+        df.coalesce(1).write.parquet(p)
+        os.utime(p, (mtime, mtime))
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (mtime, mtime))
+        return p
+
+    # batch 1: six events in 10:00, one in 10:01
+    seg("seg0", [(10, 0, s) for s in (1, 5, 10, 20, 40, 59)] + [(10, 1, 10)],
+        1_000)
+    # batch 2: one event LATER than the watermark (09:55 < 09:59:10) — per
+    # Spark's one-sided guarantee it surfaces as a small late window — and
+    # one on-time event in 10:01
+    seg("seg1", [(9, 55, 0), (10, 1, 30)], 2_000)
+    # batch 3: far-future event pushes the watermark past every window
+    seg("seg2", [(11, 30, 0)], 3_000)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v long")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src) + "/seg*")
+    )
+    q = (
+        windowed_event_counts(stream, "ts", "1 minute", "2 minutes")
+        .writeStream.format("memory").queryName("wincounts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    all_rows = spark.sql("select * from wincounts").collect()
+    rows = {r.win_start.strftime("%H:%M"): r.n for r in all_rows}
+    # exact counts, each window emitted exactly once
+    assert len(all_rows) == len(rows)
+    assert rows == {"09:55": 1, "10:00": 6, "10:01": 2}
+    # bounded state: every emitted window was evicted — only the still-open
+    # 11:30 window remains in the state store
+    state = q.recentProgress[-1]["stateOperators"][0]
+    assert state["numRowsTotal"] == 1, state
