@@ -71,8 +71,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     queries = entrymod.queries()
 
-    # -- warmup (JVM + Arrow path) --
-    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    # -- warmup (JVM codegen + real column scans; count() alone reads only
+    # parquet footers, so the first timed query used to pay the first true
+    # IO + whole-stage-codegen compile) --
+    for t, expr in [("lineitem", "sum(l_quantity)"),
+                    ("documents", "sum(length(text))"),
+                    ("embeddings", "sum(size(embedding))"),
+                    ("orders", "sum(o_totalprice)"),
+                    ("part", "sum(p_size)"),
+                    ("events", "sum(value)")]:
+        spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")) \
+            .selectExpr(expr).collect()
 
     for name in BENCH_QUERIES:
         df = queries[name](spark, SF_DIR)

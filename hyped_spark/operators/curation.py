@@ -95,6 +95,12 @@ def pack_offsets(
     partition offsets from an ``n_partitions``-row collect.
     """
     d = df.select(F.col(id_col), F.col(len_col).cast("long").alias("__n"))
+    # materialize the narrow (id, n) frame ONCE and truncate lineage:
+    # downstream needs FOUR passes over it (range-boundary sampling, the
+    # partition-total rollup, the window, the final join) and without this
+    # each pass re-derives n from the source (at bench scale that meant
+    # re-tokenizing every document four times). 16 bytes/row — bounded.
+    d = d.localCheckpoint(eager=True)
     d = d.repartitionByRange(F.col(id_col)).withColumn(
         "__pid", F.spark_partition_id()
     )
