@@ -83,6 +83,9 @@ def main() -> None:
         spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")) \
             .selectExpr(expr).collect()
 
+    # single-shot per query, same protocol every round (a best-of-N would
+    # flatter repeat runs via page-cache and codegen reuse and break
+    # round-over-round comparability)
     for name in BENCH_QUERIES:
         df = queries[name](spark, SF_DIR)
         t0 = time.monotonic()

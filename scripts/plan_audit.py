@@ -142,6 +142,14 @@ def main() -> None:
         ("query side broadcast", "BroadcastHashJoin" in p),
     ]))
 
+    # 10. sequence packing: the prefix sum must be DISTRIBUTED — a naive
+    # global window would collapse everything onto one partition
+    p = plan_of(q["pack_sequences_docs"](spark, SF))
+    sections.append(("pack_sequences_docs (distributed prefix sum)", p, [
+        ("no single-partition exchange", "Exchange SinglePartition" not in p),
+        ("window partitioned (per-partition cumsum)", "Window" in p),
+    ]))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)\n"]
     all_ok = True
     for title, plan, checks in sections:
