@@ -479,6 +479,36 @@ def async_enrich_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "completion", "n_attempts")
 
 
+def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: duplicated 2/3-gram
+    and duplicated-line fractions — native expressions, full SQL oracle."""
+    from hyped_spark.functions.hashing import tokens_col
+    from hyped_spark.functions.text import dup_line_frac_col, dup_ngram_frac_col
+
+    d = _load(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    return d.select(
+        "doc_id",
+        dup_ngram_frac_col(toks, 2).alias("dup_2gram_frac"),
+        dup_ngram_frac_col(toks, 3).alias("dup_3gram_frac"),
+        dup_line_frac_col(F.col("text")).alias("dup_line_frac"),
+    )
+
+
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (flag mode): corpus docs sharing any
+    3-gram shingle with a deterministic pseudo-eval set (doc_id % 37 == 0)
+    are flagged. md5 hash mode → the check is fully mirrored in SQL."""
+    from hyped_spark.operators.dedup import decontaminate
+
+    d = _load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    corpus = d.filter(F.col("doc_id") % 37 != 0)
+    return decontaminate(
+        corpus, bench, shingle_n=3, hash_mode="md5", mode="flag"
+    ).select("doc_id", "contaminated")
+
+
 def seq_val_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SequenceValueHistogram analogue (A5): binned histogram over flattened
     array values (here: per-word lengths of part names)."""
@@ -605,6 +635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_docs": hash_split_docs,
         "pack_sequences_docs": pack_sequences_docs,
         "async_enrich_docs": async_enrich_docs,
+        "repetition_docs": repetition_docs,
+        "decontaminate_docs": decontaminate_docs,
         "quality_scores": quality_scores,
         "asof_join_events": asof_join_events,
         "range_join_parts": range_join_parts,
@@ -783,6 +815,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INTEGER) AS n_attempts
             FROM documents
         """,
+        "repetition_docs": _repetition_oracle(),
+        "decontaminate_docs": _decontaminate_oracle(bench_mod=37, shingle_n=3),
         "pack_sequences_docs": """
             WITH t AS (
                 SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
@@ -953,6 +987,60 @@ def _jaccard_oracle(min_jaccard: float) -> str:
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
               / len(list_distinct(list_concat(a.shingles, b.shingles))) >= {min_jaccard}
+    """
+
+
+def _repetition_oracle() -> str:
+    """DuckDB twin of repetition_docs: same tokenizer, same string n-grams
+    (no hashing anywhere), same short-doc zero semantics."""
+    def frac(n: int) -> str:
+        g = (f"[array_to_string(list_slice(t, i, i + {n - 1}), ' ') "
+             f"for i in range(1, len(t) - {n - 1} + 1)]")
+        return (f"CASE WHEN len(t) >= {n} THEN "
+                f"round(1.0 - CAST(len(list_distinct({g})) AS DOUBLE) "
+                f"/ len({g}), 6) ELSE 0.0 END")
+
+    return f"""
+        WITH {_TOKS_CTE}, lines AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, chr(10)),
+                               x -> len(x) > 0) AS ls
+            FROM documents
+        )
+        SELECT toks.doc_id,
+               {frac(2)} AS dup_2gram_frac,
+               {frac(3)} AS dup_3gram_frac,
+               CASE WHEN len(ls) > 0 THEN
+                 round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 6)
+               ELSE 0.0 END AS dup_line_frac
+        FROM toks JOIN lines ON toks.doc_id = lines.doc_id
+    """
+
+
+def _decontaminate_oracle(bench_mod: int, shingle_n: int = 3) -> str:
+    """DuckDB twin of decontaminate_docs (md5 shingles, flag mode)."""
+    n = shingle_n
+    sh_hash = _H60.format(
+        expr=f"array_to_string(list_slice(t, i, i + {n - 1}), ' ')"
+    )
+    sh_short = _H60.format(expr="coalesce(array_to_string(t, ' '), '')")
+    return f"""
+        WITH {_TOKS_CTE}, sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= {n} THEN
+                     list_distinct([{sh_hash} for i in range(1, len(t) - {n - 1} + 1)])
+                   ELSE [{sh_short}] END AS shingles
+            FROM toks
+        ), bl AS (
+            SELECT list(DISTINCT s) AS bs FROM (
+                SELECT unnest(shingles) AS s FROM sh
+                WHERE doc_id % {bench_mod} = 0
+            )
+        )
+        SELECT sh.doc_id,
+               len(list_intersect(sh.shingles, bl.bs)) > 0 AS contaminated
+        FROM sh CROSS JOIN bl
+        WHERE sh.doc_id % {bench_mod} <> 0
     """
 
 

@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "range_join_parts",
     "hash_split_docs",
     "pack_sequences_docs",
+    "repetition_docs",
+    "decontaminate_docs",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

@@ -168,6 +168,33 @@ def quality_score_col(text: Column) -> Column:
     )
 
 
+def dup_ngram_frac_col(tokens: Column, n: int) -> Column:
+    """Fraction of duplicated word n-grams within one document — the
+    Gopher-style repetition signal (high values flag boilerplate/spam).
+    Pure native string grams (no hashing → trivially mirrored in SQL);
+    0.0 for documents shorter than n tokens."""
+    size = F.size(tokens)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(size - n, F.lit(0)), F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+    )
+    total = F.when(size >= n, F.size(grams)).otherwise(F.lit(0))
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(
+        total > 0, F.round(F.lit(1.0) - distinct / total, 6)
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_frac_col(text: Column) -> Column:
+    """Fraction of duplicated non-empty lines within one document."""
+    lines = F.filter(F.split(text, "\n"), lambda x: F.length(x) > 0)
+    total = F.size(lines)
+    return F.when(
+        total > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(lines)) / total, 6),
+    ).otherwise(F.lit(0.0))
+
+
 def fingerprint_col(text: Column) -> Column:
     """64-bit content fingerprint of whitespace-normalized lowercase text.
 

@@ -188,6 +188,48 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return df.join(losers, id_col, "left_anti")
 
 
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 13,
+    hash_mode: str = "xxhash64",
+    mode: str = "drop",
+) -> DataFrame:
+    """Benchmark decontamination: drop (``mode="drop"``) or flag
+    (``mode="flag"``, adds a ``contaminated`` boolean) corpus documents
+    sharing ANY ``shingle_n``-gram with the benchmark/eval corpus — the
+    standard pre-training hygiene step (13-gram overlap against eval sets).
+
+    The 100 TB shape: the benchmark shingle set is tiny (eval sets are
+    megabytes) and broadcasts; the corpus side is a map-side semi-join on
+    int64 shingle hashes — the corpus never shuffles. ``hash_mode="md5"``
+    makes the whole check SQL-expressible for the oracle."""
+    bench_sh = (
+        with_shingles(benchmark, text_col, shingle_n, hash_mode)
+        .select(F.explode("__shingles").alias("__s"))
+        .distinct()
+    )
+    doc_sh = with_shingles(spread(df), text_col, shingle_n, hash_mode).select(
+        F.col(id_col), F.explode("__shingles").alias("__s")
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "__s", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    if mode == "flag":
+        return df.join(
+            hits.withColumn("contaminated", F.lit(True)), id_col, "left"
+        ).withColumn(
+            "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+        )
+    if mode == "drop":
+        return df.join(hits, id_col, "left_anti")
+    raise ValueError(f"unknown decontaminate mode: {mode!r}")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -346,3 +346,50 @@ def test_connected_components_matches_union_find(spark):
         got = {r.id: r.component
                for r in connected_components(pairs).collect()}
         assert got == want, f"case {case}"
+
+
+def test_decontaminate_drop_and_flag(spark):
+    from hyped_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+               "lam mu nu extra tail words here")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "intro words then alpha beta gamma delta epsilon zeta eta "
+             "theta iota kappa lam mu nu and more"),   # shares a 13-gram
+         (2, "completely unrelated content with no overlap whatsoever in "
+             "any thirteen gram window of tokens at all today")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in
+            decontaminate(corpus, bench, shingle_n=13).collect()}
+    assert kept == {2}
+    flags = {r.doc_id: r.contaminated for r in
+             decontaminate(corpus, bench, shingle_n=13, mode="flag").collect()}
+    assert flags == {1: True, 2: False}
+
+
+def test_repetition_metrics_crafted(spark):
+    from pyspark.sql import functions as F
+
+    from hyped_spark.functions.hashing import tokens_col
+    from hyped_spark.functions.text import dup_line_frac_col, dup_ngram_frac_col
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"),       # 3 bigrams, 1 distinct -> 2/3
+         (2, "a b c d"),                   # all bigrams distinct -> 0
+         (3, "x"),                         # shorter than n -> 0
+         (4, "x\nx\ny")],                  # 3 lines, 2 distinct -> 1/3
+        "doc_id long, text string",
+    )
+    toks = tokens_col(F.col("text"))
+    got = {r.doc_id: (r.g2, r.lf) for r in df.select(
+        "doc_id",
+        dup_ngram_frac_col(toks, 2).alias("g2"),
+        dup_line_frac_col(F.col("text")).alias("lf"),
+    ).collect()}
+    assert abs(got[1][0] - 2 / 3) < 1e-6
+    assert got[2][0] == 0.0 and got[3][0] == 0.0
+    assert abs(got[4][1] - 1 / 3) < 1e-6
