@@ -479,6 +479,16 @@ def async_enrich_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "completion", "n_attempts")
 
 
+def source_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (count^0.5) source mixing weights per document."""
+    from hyped_spark.operators.curation import source_mixture_weights
+
+    d = _load(spark, sf_dir, "documents")
+    return source_mixture_weights(d, "source", alpha=0.5).select(
+        "doc_id", "source", "sample_weight"
+    )
+
+
 def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition signals: duplicated 2/3-gram
     and duplicated-line fractions — native expressions, full SQL oracle."""
@@ -637,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "async_enrich_docs": async_enrich_docs,
         "repetition_docs": repetition_docs,
         "decontaminate_docs": decontaminate_docs,
+        "source_mixture_docs": source_mixture_docs,
         "quality_scores": quality_scores,
         "asof_join_events": asof_join_events,
         "range_join_parts": range_join_parts,
@@ -817,6 +828,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition_docs": _repetition_oracle(),
         "decontaminate_docs": _decontaminate_oracle(bench_mod=37, shingle_n=3),
+        "source_mixture_docs": """
+            WITH c AS (
+                SELECT source, pow(count(*), 0.5) AS w FROM documents
+                GROUP BY source
+            ), t AS (SELECT sum(w) AS tot FROM c)
+            SELECT d.doc_id, d.source, round(c.w / t.tot, 6) AS sample_weight
+            FROM documents d JOIN c USING (source) CROSS JOIN t
+        """,
         "pack_sequences_docs": """
             WITH t AS (
                 SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n

@@ -73,6 +73,31 @@ def split_by_hash_sql(key_expr: str, fractions: dict[str, float]) -> str:
     return "CASE " + " ".join(arms) + " END"
 
 
+def source_mixture_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    weight_col: str = "sample_weight",
+) -> DataFrame:
+    """Temperature-based multi-corpus mixing weights (the T5/LLaMA
+    ``count^alpha`` rule): per-source weight ∝ n_source^alpha, normalized
+    to sum 1 across sources, then joined back per row — so sampling rows
+    proportionally to ``weight/count`` yields the tempered source mix.
+    ``alpha=1`` is natural proportions; ``alpha=0`` uniform over sources.
+
+    One map-side-combinable count per source plus a broadcast join of the
+    (n_sources)-row weight table — the corpus never shuffles.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    weights = counts.withColumn("__w", F.pow(F.col("__n"), F.lit(alpha)))
+    total = weights.agg(F.sum("__w")).collect()[0][0]
+    weights = weights.select(
+        source_col,
+        F.round(F.col("__w") / F.lit(float(total)), 6).alias(weight_col),
+    )
+    return df.join(F.broadcast(weights), source_col)
+
+
 def pack_offsets(
     df: DataFrame,
     len_col: str,

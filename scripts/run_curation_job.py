@@ -1,0 +1,120 @@
+"""End-to-end training-data curation job: the whole operator library in one
+runnable pipeline over a documents corpus.
+
+    python scripts/run_curation_job.py [--sf-dir /root/testdata/sf0.001]
+                                       [--out /tmp/curated] [--cores 8]
+
+Stages (each one a library operator — this script only chains them):
+
+1. exact dedup                 (fingerprint hash-agg, min-id representative)
+2. MinHash near-dedup          (LSH bands, connected-components keep rule)
+3. benchmark decontamination   (shingle overlap vs a held-out eval slice)
+4. quality gate                (quality score + Gopher repetition fractions)
+5. language filter             (native n-gram language id)
+6. source mixture weights      (count^alpha tempered mixing)
+7. train/val/test split        (portable hash buckets)
+8. sequence-packing manifest   (concat-then-chunk offsets for the train split)
+
+Outputs under --out: ``curated/`` (parquet corpus with weights + split),
+``packing/`` (chunk manifest), and one summary JSON line on stdout with
+per-stage row counts — the shape a 100 TB run would emit to its job log.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--max-dup-3gram", type=float, default=0.5)
+    ap.add_argument("--langs", default="en,de,fr,es,it")
+    ap.add_argument("--chunk-tokens", type=int, default=512)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from hyped_spark.functions.hashing import tokens_col
+    from hyped_spark.functions.text import (
+        dup_ngram_frac_col,
+        lang_id_col,
+        quality_score_col,
+    )
+    from hyped_spark.operators.curation import (
+        pack_offsets,
+        source_mixture_weights,
+        split_by_hash,
+    )
+    from hyped_spark.operators.dedup import (
+        decontaminate,
+        exact_dedup,
+        minhash_dedup,
+    )
+    from hyped_spark.session import get_spark
+
+    spark = get_spark("curation_job", cores=args.cores,
+                      shuffle_partitions=args.cores)
+    docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
+    counts = {"input": docs.count()}
+
+    d = exact_dedup(docs)
+    counts["after_exact_dedup"] = d.count()
+
+    d = minhash_dedup(d, strategy="cc", min_jaccard=0.8)
+    counts["after_minhash_dedup"] = d.count()
+
+    # deterministic pseudo-eval slice stands in for real benchmark files
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    d = decontaminate(d.filter(F.col("doc_id") % 97 != 0), bench)
+    counts["after_decontaminate"] = d.count()
+
+    d = (
+        d.withColumn("quality", quality_score_col(F.col("text")))
+        .withColumn("dup_3gram_frac",
+                    dup_ngram_frac_col(tokens_col(F.col("text")), 3))
+        .filter((F.col("quality") >= args.min_quality)
+                & (F.col("dup_3gram_frac") <= args.max_dup_3gram))
+    )
+    counts["after_quality_gate"] = d.count()
+
+    langs = [s.strip() for s in args.langs.split(",") if s.strip()]
+    d = d.withColumn("lang_guess", lang_id_col(F.col("text"))) \
+         .filter(F.col("lang_guess").isin(langs))
+    counts["after_lang_filter"] = d.count()
+
+    d = source_mixture_weights(d, "source", alpha=0.5)
+    d = split_by_hash(d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+
+    curated = os.path.join(args.out, "curated")
+    d.write.mode("overwrite").parquet(curated)
+    curated_df = spark.read.parquet(curated)
+    counts["curated"] = curated_df.count()
+
+    train = curated_df.filter(F.col("split") == "train").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    manifest = pack_offsets(train, "n_tokens", "doc_id",
+                            chunk_tokens=args.chunk_tokens)
+    packing = os.path.join(args.out, "packing")
+    manifest.write.mode("overwrite").parquet(packing)
+    counts["train_docs"] = train.count()
+    counts["pack_rows"] = spark.read.parquet(packing).count()
+    counts["chunks"] = (
+        spark.read.parquet(packing).agg(F.max("chunk_id")).collect()[0][0]
+    )
+
+    print(json.dumps({"job": "curation", "sf_dir": args.sf_dir,
+                      "out": args.out, "counts": counts}))
+
+
+if __name__ == "__main__":
+    main()

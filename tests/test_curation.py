@@ -110,3 +110,39 @@ def test_pack_offsets_matches_python_reference(spark):
         got = sorted(map(tuple,
                          pack_offsets(df, "n", chunk_tokens=B).collect()))
         assert got == sorted(expected), f"case {case} (B={B})"
+
+
+def test_curation_job_end_to_end(spark, tmp_path, monkeypatch):
+    """The full curation pipeline script: dedup → decontaminate → quality
+    gate → lang filter → weights → split → packing manifest."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "run_curation_job",
+        "/root/repo/scripts/run_curation_job.py",
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    out = str(tmp_path / "o")
+    monkeypatch.setattr(sys, "argv", ["job", "--out", out, "--cores", "8"])
+    job.main()
+
+    curated = spark.read.parquet(f"{out}/curated")
+    n = curated.count()
+    assert 0 < n <= 500
+    assert {"split", "sample_weight", "quality", "lang_guess"} <= set(curated.columns)
+    # weights: one per source, summing to ~1 across sources
+    w = {r.source: r.sample_weight
+         for r in curated.select("source", "sample_weight").distinct().collect()}
+    assert abs(sum(w.values()) - 1.0) < 1e-4
+    # packing manifest tiles the train split exactly
+    from pyspark.sql import functions as F
+    manifest = spark.read.parquet(f"{out}/packing")
+    train_tokens = (curated.filter("split = 'train'")
+                    .select(F.size(F.split("text", " ")).alias("n"))
+                    .agg(F.sum("n")).collect()[0][0])
+    packed = manifest.agg(
+        F.sum(F.col("slice_end") - F.col("slice_begin"))).collect()[0][0]
+    assert packed == train_tokens
