@@ -26,6 +26,8 @@ from hyped_spark.operators.sequence import (  # noqa: F401
     join_str_seq,
 )
 from hyped_spark.operators.dedup import (  # noqa: F401
+    connected_components,
+    decontaminate,
     exact_dedup,
     minhash_dedup,
     minhash_lsh_pairs,
@@ -40,5 +42,6 @@ from hyped_spark.operators.similarity import (  # noqa: F401
 from hyped_spark.operators.joins import asof_join, range_join  # noqa: F401
 from hyped_spark.operators.curation import (  # noqa: F401
     pack_offsets,
+    source_mixture_weights,
     split_by_hash,
 )
