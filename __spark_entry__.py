@@ -494,8 +494,11 @@ def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and duplicated-line fractions — native expressions, full SQL oracle."""
     from hyped_spark.functions.hashing import tokens_col
     from hyped_spark.functions.text import dup_line_frac_col, dup_ngram_frac_col
+    from hyped_spark.operators.common import spread
 
-    d = _load(spark, sf_dir, "documents")
+    # narrow projection first, then spread: the gram expressions are
+    # CPU-heavy and the sf tables are single-row-group (single-task scans)
+    d = spread(_load(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = tokens_col(F.col("text"))
     return d.select(
         "doc_id",
