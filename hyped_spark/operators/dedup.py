@@ -214,7 +214,11 @@ def decontaminate(
     doc_sh = with_shingles(spread(df), text_col, shingle_n, hash_mode).select(
         F.col(id_col), F.explode("__shingles").alias("__s")
     )
-    hits = (
+    # the contaminated-id set is ids-only and typically a small fraction of
+    # the corpus — broadcast it so the join back is map-side (unhinted,
+    # Catalyst can't estimate the post-join distinct and picks a full
+    # sort-merge shuffle of the corpus)
+    hits = F.broadcast(
         doc_sh.join(F.broadcast(bench_sh), "__s", "left_semi")
         .select(id_col)
         .distinct()
