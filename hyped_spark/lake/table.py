@@ -363,16 +363,27 @@ class SnapshotTable:
         })
         return new_version
 
-    def compact(self) -> int:
+    def compact(self, n_buckets: int | None = None) -> int:
         """Rewrite every bucket into one fresh snapshot: merges MOR
         fragments and schema-group fragmentation, drops tombstones (GC —
         safe once no lower-LSN events can still arrive, i.e. between ingest
         sessions), and leaves a single schema id per bucket. Returns the
-        new snapshot id."""
+        new snapshot id.
+
+        ``n_buckets`` REBUCKETS the table during the rewrite — the growth
+        path when a table outgrows its bucket count (the Iceberg
+        partition-spec-evolution analogue; at 100 TB you start with
+        thousands of buckets and grow by rewriting, exactly this). By
+        default the COMMITTED count is preserved, so a handle constructed
+        with a different constructor value no longer silently rebuckets."""
         cur_version = self.current_version()
         if cur_version < 0:
             raise ValueError("nothing to compact")
         commit = self._read_commit(cur_version)
+        self.n_buckets = int(
+            n_buckets if n_buckets is not None
+            else commit.get("n_buckets", self.n_buckets)
+        )
         schema = T.StructType.fromJson(commit["schemas"][-1])
         needs = self._needs_resolve(commit)
         live = self._read_groups(

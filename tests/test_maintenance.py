@@ -83,3 +83,38 @@ def test_expire_and_compact(spark, tmp_path):
     e = again[cols].reset_index(drop=True)
     r = ref.sort_values("url")[cols].reset_index(drop=True)
     pd.testing.assert_frame_equal(e, r, check_dtype=False)
+
+
+def test_compact_preserves_committed_buckets_and_rebuckets_on_request(spark, tmp_path):
+    """A handle constructed with a mismatched n_buckets must NOT silently
+    rebucket on compact; an explicit compact(n_buckets=...) rebuckets the
+    whole table and later merges follow the new layout."""
+    from hyped_spark.lake.table import SnapshotTable
+    from hyped_spark.plans.replay import ReplayConfig, ReplayEngine
+    from hyped_spark.sources.synthetic import binlog
+
+    eng = ReplayEngine(spark, ReplayConfig(
+        table_path=str(tmp_path / "t"), metrics_path=str(tmp_path / "m"),
+        batch_lsns=400, n_buckets=4))
+    eng.replay(binlog(spark, 600, 60))
+    before = eng.table.read().orderBy("url").toPandas()
+
+    # mismatched handle: compact keeps the COMMITTED count (4)
+    stale = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=16)
+    stale.compact()
+    c = stale.current_commit()
+    assert c["n_buckets"] == 4
+    assert stale.read().orderBy("url").toPandas().equals(before)
+
+    # explicit rebucket for growth: same rows, new layout, merges follow
+    stale.compact(n_buckets=8)
+    c = stale.current_commit()
+    assert c["n_buckets"] == 8
+    assert len(c["buckets"]) <= 8
+    assert stale.read().orderBy("url").toPandas().equals(before)
+    eng2 = ReplayEngine(spark, ReplayConfig(
+        table_path=str(tmp_path / "t"), metrics_path=str(tmp_path / "m"),
+        batch_lsns=400, n_buckets=4))  # stale config; merge syncs from commit
+    stats = eng2.replay(binlog(spark, 1000, 60))
+    assert any(not s.skipped_replay for s in stats)
+    assert eng2.table.current_commit()["n_buckets"] == 8
