@@ -193,6 +193,61 @@ def _split_by_hash(p: dict) -> Stage:
     )
 
 
+@register("pack")
+def _pack(p: dict) -> Stage:
+    from hyped_spark.operators.curation import pack_offsets
+    return lambda df: pack_offsets(
+        df, p["len_col"], p.get("id_col", "doc_id"),
+        chunk_tokens=p.get("chunk_tokens", 2048),
+    )
+
+
+@register("source_mixture")
+def _source_mixture(p: dict) -> Stage:
+    from hyped_spark.operators.curation import source_mixture_weights
+    return lambda df: source_mixture_weights(
+        df, p.get("source_col", "source"), alpha=p.get("alpha", 0.5),
+        weight_col=p.get("out", "sample_weight"),
+    )
+
+
+@register("decontaminate")
+def _decontaminate(p: dict) -> Stage:
+    """Benchmark corpus referenced by path — the declarative form of the
+    two-input operator (specs are single-input chains)."""
+    from hyped_spark.operators.dedup import decontaminate
+
+    def run(df: DataFrame) -> DataFrame:
+        bench = getattr(df.sparkSession.read, p.get("format", "parquet"))(
+            p["benchmark_path"]
+        )
+        return decontaminate(
+            df, bench,
+            text_col=p.get("text_col", "text"),
+            id_col=p.get("id_col", "doc_id"),
+            shingle_n=p.get("shingle_n", 13),
+            mode=p.get("mode", "drop"),
+        )
+    return run
+
+
+@register("repetition_metrics")
+def _repetition_metrics(p: dict) -> Stage:
+    from hyped_spark.functions.hashing import tokens_col
+    from hyped_spark.functions.text import dup_line_frac_col, dup_ngram_frac_col
+
+    ns = p.get("ns", [2, 3])
+
+    def run(df: DataFrame) -> DataFrame:
+        toks = tokens_col(F.col(p.get("text_col", "text")))
+        for n in ns:
+            df = df.withColumn(f"dup_{n}gram_frac", dup_ngram_frac_col(toks, n))
+        return df.withColumn(
+            "dup_line_frac", dup_line_frac_col(F.col(p.get("text_col", "text")))
+        )
+    return run
+
+
 @register("repartition")
 def _repartition(p: dict) -> Stage:
     cols = [F.col(c) for c in p.get("columns", [])]

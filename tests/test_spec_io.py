@@ -317,3 +317,45 @@ def test_process_graph(spark):
     assert g.num_layers >= 3 and g.max_width >= 3
     dot = g.to_dot()
     assert "digraph pipeline" in dot and '"with_column"' in dot
+
+
+def test_curation_pipeline_as_declarative_spec(spark, tmp_path):
+    """The curation stages compose as a pure JSON document: dedup-adjacent
+    gates, decontamination-by-path, mixture weights, split, packing."""
+    import json as _json
+
+    from hyped_spark.plans.spec import PipelineSpec, SourceSpec
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench_path = str(tmp_path / "bench")
+    docs.filter("doc_id % 97 = 0").write.parquet(bench_path)
+    corpus_path = str(tmp_path / "corpus")
+    docs.filter("doc_id % 97 != 0").write.parquet(corpus_path)
+
+    spec = PipelineSpec(
+        source=SourceSpec(format="parquet", path=corpus_path),
+        stages=[
+            {"op": "decontaminate", "benchmark_path": bench_path,
+             "shingle_n": 3, "mode": "flag"},
+            {"op": "repetition_metrics", "ns": [2]},
+            {"op": "source_mixture", "alpha": 0.5},
+            {"op": "split_by_hash", "key": "doc_id",
+             "fractions": {"train": 0.9, "test": 0.1}},
+            {"op": "with_column", "name": "n_tokens",
+             "expr": "size(split(text, ' '))"},
+            {"op": "pack", "len_col": "n_tokens", "chunk_tokens": 128},
+        ],
+        name="declarative_curation",
+    )
+    spec = PipelineSpec.from_json(spec.to_json())  # survives JSON round-trip
+    assert _json.loads(spec.to_json())["stages"][0]["op"] == "decontaminate"
+
+    out = spec.compile(spark)
+    rows = out.collect()
+    assert rows and set(out.columns) == {"doc_id", "chunk_id",
+                                         "slice_begin", "slice_end"}
+    # the manifest tiles the corpus token stream
+    from pyspark.sql import functions as F
+    total = (spark.read.parquet(corpus_path)
+             .agg(F.sum(F.size(F.split("text", " ")))).collect()[0][0])
+    assert sum(r.slice_end - r.slice_begin for r in rows) == total
