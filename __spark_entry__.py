@@ -408,6 +408,23 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, n_lists=8, n_probe=2)
 
 
+def ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine over the int8 scalar-quantized corpus (4x smaller
+    vector storage/shuffle). Exact min/max params + affine quantization
+    are bit-reproducible across engines, so the oracle recomputes the
+    identical codes in SQL."""
+    from hyped_spark.operators.similarity import sq_topk
+
+    emb = _load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sq_topk(emb, queries, dim=dim, k=5)
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane LSH buckets.
 
@@ -642,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": ann_topk_cosine,
         "ann_topk_lsh": ann_topk_lsh,
         "ann_topk_ivf": ann_topk_ivf,
+        "ann_topk_sq8": ann_topk_sq8,
         "embedding_neardup": embedding_neardup,
         "seq_val_hist": seq_val_hist,
         "disc_seq_val_hist": disc_seq_val_hist,
@@ -940,6 +958,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": _quality_oracle(),
         "ann_topk_lsh": _ann_lsh_oracle(dim=64, n_bits=6, k=5),
         "ann_topk_ivf": _ann_ivf_oracle(dim=64, n_lists=8, n_probe=2, k=5),
+        "ann_topk_sq8": _ann_sq8_oracle(dim=64, k=5),
         # fixed spans (1,3)/(5,8), no truncation: marker insertion is pure
         # list surgery, so the oracle is the explicit slice concatenation
         "relex_mark_docs": """
@@ -1249,6 +1268,45 @@ def _ann_ivf_oracle(
                          (sqrt(list_dot_product(q.qe, q.qe)) *
                           sqrt(list_dot_product(cc.e, cc.e))), 6) AS cosine
             FROM qcell q JOIN ccell cc USING (cell)
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def _ann_sq8_oracle(dim: int = 64, k: int = 5) -> str:
+    """DuckDB twin of sq_topk: per-dim exact min/max, the same affine
+    int8 quantize/dequantize (identical IEEE ops on identical operands →
+    identical codes), then brute-force cosine top-k. The zero-range guard
+    (scale 0 → 1) matches quantize_col's ``or 1.0``."""
+    scale = ("(CASE WHEN his[d] = los[d] THEN 1.0 "
+             "ELSE (his[d] - los[d]) / 255.0 END)")
+    dq = (f"[los[d] + round((e[d] - los[d]) / {scale}) * {scale} "
+          f"for d in range(1, {dim + 1})]")
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), mm AS (
+            SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his
+            FROM (
+                SELECT r.d AS d, min(v.e[r.d]) AS lo, max(v.e[r.d]) AS hi
+                FROM v CROSS JOIN range(1, {dim + 1}) r(d)
+                GROUP BY r.d
+            )
+        ), dq AS (
+            SELECT v.vec_id, {dq} AS e
+            FROM v CROSS JOIN mm
+        ), q AS (
+            SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 8
+        ), scored AS (
+            SELECT q.query_id, dq.vec_id,
+                   round(list_dot_product(q.qe, dq.e) /
+                         (sqrt(list_dot_product(q.qe, q.qe)) *
+                          sqrt(list_dot_product(dq.e, dq.e))), 6) AS cosine
+            FROM dq CROSS JOIN q
         )
         SELECT query_id, vec_id, cosine, rank FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "ann_topk_cosine",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "ann_topk_sq8",
     "embedding_neardup",
     "relex_mark_docs",
     "seq_val_hist",

@@ -393,3 +393,25 @@ def test_repetition_metrics_crafted(spark):
     assert abs(got[1][0] - 2 / 3) < 1e-6
     assert got[2][0] == 0.0 and got[3][0] == 0.0
     assert abs(got[4][1] - 1 / 3) < 1e-6
+
+
+def test_sq8_topk_recall_vs_exact(spark):
+    """int8 scalar-quantized ANN: high top-k overlap with exact search and
+    self-match at rank 1 (quantization error is bounded per dimension)."""
+    from hyped_spark.operators.similarity import brute_force_topk, sq_topk
+
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 10
+    exact = {(r.query_id, r.vec_id)
+             for r in brute_force_topk(emb, queries, k=k).collect()}
+    sq = {(r.query_id, r.vec_id)
+          for r in sq_topk(emb, queries, dim=dim, k=k).collect()}
+    recall = len(sq & exact) / len(exact)
+    assert recall >= 0.8, recall
+    top1 = {r.query_id: r.vec_id
+            for r in sq_topk(emb, queries, dim=dim, k=1).collect()}
+    assert all(q == v for q, v in top1.items())
