@@ -168,16 +168,30 @@ def quality_score_col(text: Column) -> Column:
     )
 
 
-def dup_ngram_frac_col(tokens: Column, n: int) -> Column:
+def dup_ngram_frac_col(tokens: Column, n: int, hashed: bool = False) -> Column:
     """Fraction of duplicated word n-grams within one document — the
     Gopher-style repetition signal (high values flag boilerplate/spam).
-    Pure native string grams (no hashing → trivially mirrored in SQL);
-    0.0 for documents shorter than n tokens."""
+    0.0 for documents shorter than n tokens.
+
+    ``hashed=False`` (oracle mode): pure native string grams — trivially
+    mirrored in SQL. ``hashed=True`` (scale mode): each gram is a native
+    multi-arg ``xxhash64`` over its n token strings — no gram string is
+    ever built, and ``array_distinct`` compares 8-byte longs instead of
+    gram strings. Same value modulo 2^-64 collisions (a collision merges
+    two distinct grams), severalfold cheaper on real documents."""
     size = F.size(tokens)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(size - n, F.lit(0)), F.lit(1)),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
-    )
+    idx = F.sequence(F.lit(0), F.greatest(size - n, F.lit(0)), F.lit(1))
+    if hashed:
+        # F.get (0-based) returns NULL past the end in any ANSI mode —
+        # only the guarded size<n case ever reads out of bounds
+        grams = F.transform(
+            idx,
+            lambda i: F.xxhash64(*[F.get(tokens, i + j) for j in range(n)]),
+        )
+    else:
+        grams = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n))
+        )
     total = F.when(size >= n, F.size(grams)).otherwise(F.lit(0))
     distinct = F.size(F.array_distinct(grams))
     return F.when(

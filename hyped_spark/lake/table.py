@@ -124,6 +124,18 @@ class SnapshotTable:
             )
         return self._version_cache
 
+    def refresh(self) -> int:
+        """Drop the cached max version and rescan the commit log.
+
+        The cache makes a handle's view of "current" stable for its
+        lifetime: a WRITER handle always sees its own commits (``_commit``
+        advances the cache), but a long-lived READ-ONLY handle does NOT
+        observe commits made through a different handle/process until it
+        calls ``refresh()`` (or is re-created, or reads an explicit
+        ``version=``). Returns the new current version."""
+        self._version_cache = None
+        return self.current_version()
+
     def _read_commit(self, version: int) -> dict:
         with open(self._log_path(version)) as f:
             return json.load(f)
@@ -264,8 +276,13 @@ class SnapshotTable:
                 if with_file:
                     df = df.withColumn(
                         _FRAG_ORD,
+                        # anchored to the table's own data-dir layout
+                        # (data/snapNNNNNNNNNN/...) so a table rooted under
+                        # a directory that itself matches "snap<digits>"
+                        # can't hijack the ordinal
                         F.regexp_extract(
-                            F.col("_metadata.file_path"), r"snap(\d{10})", 1
+                            F.col("_metadata.file_path"),
+                            rf"/{_DATA_DIR}/snap(\d{{10}})/", 1
                         ).cast("long"),
                     )
                 parts.append(align_to_schema(df, target))

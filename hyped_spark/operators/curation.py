@@ -118,6 +118,13 @@ def pack_offsets(
     from a prefix sum over the total id order, computed distributed —
     range repartition, per-partition window cumsum, plus exclusive
     partition offsets from an ``n_partitions``-row collect.
+
+    ``id_col`` values MUST be unique — the packing order "concatenated in
+    id order" is undefined otherwise. The cumsum window uses an explicit
+    ROWS frame, so even on malformed duplicate-id input each row gets its
+    own running total (Spark's default RANGE frame would make duplicate
+    ids peers sharing one cumulative sum → overlapping slices, silently
+    diverging from the ROWS-frame SQL oracle).
     """
     d = df.select(F.col(id_col), F.col(len_col).cast("long").alias("__n"))
     # materialize the narrow (id, n) frame ONCE and truncate lineage:
@@ -129,7 +136,11 @@ def pack_offsets(
     d = d.repartitionByRange(F.col(id_col)).withColumn(
         "__pid", F.spark_partition_id()
     )
-    w = Window.partitionBy("__pid").orderBy(id_col)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     d = d.withColumn("__local_end", F.sum("__n").over(w))
     totals = sorted(
         d.groupBy("__pid").agg(F.max("__local_end").alias("t")).collect(),

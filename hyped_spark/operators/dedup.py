@@ -82,9 +82,12 @@ def minhash_lsh_pairs(
     here too.
     """
     rows_per_band = n_hashes // n_bands
-    shing = with_shingles(spread(df), text_col, shingle_n, hash_mode).select(
-        F.col(id_col).alias("id"), "__shingles"
-    )
+    # project narrow BEFORE spread: column pruning does not push through a
+    # repartition, so spread(df) would shuffle every carried column
+    shing = with_shingles(
+        spread(df.select(F.col(id_col), F.col(text_col))),
+        text_col, shingle_n, hash_mode,
+    ).select(F.col(id_col).alias("id"), "__shingles")
     bands = (
         shing.withColumn("__sig", minhash_signature_col(F.col("__shingles"), n_hashes))
         .select(
@@ -112,6 +115,20 @@ def minhash_lsh_pairs(
     )
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the block-storage of an eagerly localCheckpoint'ed frame NOW.
+
+    ``DataFrame.unpersist`` only touches cache-manager entries, not the
+    LogicalRDD behind a checkpoint; those blocks otherwise wait on driver
+    GC + ContextCleaner (measured: still pinned after 30 s of forced GC).
+    Internal-API reach-in, so failures degrade to the GC path silently.
+    The frame is unusable afterwards — only call on superseded frames."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
     """(id, component) for every id in the pair graph — iterative min-label
     propagation (each round: every vertex takes the min label in its
@@ -119,22 +136,46 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
     are shallow, so ``max_iters=10`` covers any realistic corpus).
 
     Per round: one hash join (edges × labels) + one map-side-combinable
-    min-aggregate — the simplified large-star/small-star shape. Labels are
-    persisted per round and the previous round unpersisted, so the plan
-    and lineage stay O(1) deep across rounds.
+    min-aggregate — the simplified large-star/small-star shape. The edge
+    frame is persisted and materialized ONCE before the loop (without this,
+    every round's convergence-check action re-executed the full upstream
+    candidate pipeline — shingling, MinHash, band join, Jaccard verify —
+    from scratch; tests/test_dedup_quality.py guards the single
+    materialization with a side-effecting UDF counter).
+
+    Per-round labels are eagerly ``localCheckpoint``-ed, NOT merely
+    persisted: each round's plan references the previous labels TWICE
+    (union + convergence join), so without lineage truncation the logical
+    tree doubles per round — 2^rounds nodes — and Spark's own plan-string
+    generation (AQE's onUpdatePlan) goes combinatorial around round 7
+    (measured: the driver burns minutes inside ``generateTreeString`` on a
+    7-edge chain). Checkpointing keeps the plan O(1) per round; each
+    superseded round's checkpoint blocks are released explicitly (waiting
+    on the ContextCleaner leaves them pinned for minutes), and the edge
+    cache is dropped before returning — residue per call is the returned
+    labels frame only, O(1) not O(rounds).
+
+    If the loop exits via ``max_iters`` with labels still changing, the
+    labels are only partially propagated (some components carry >1 label);
+    that is reported with a ``warnings.warn`` so callers don't silently
+    over-keep documents.
     """
+    import warnings
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .persist()
     )
+    edges.count()  # materialize: the upstream pair pipeline runs exactly once
     lab = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    lab.count()  # materialize before the loop
+    changed = 0
     for _ in range(max_iters):
         prop = edges.join(
             lab.withColumnRenamed("id", "src"), "src"
@@ -143,7 +184,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
             lab.unionByName(prop)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_lab.join(lab.withColumnRenamed("component", "old"), "id")
@@ -151,10 +192,19 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
             .limit(1)
             .count()
         )
-        lab.unpersist()
+        _release_local_checkpoint(lab)
         lab = new_lab
         if changed == 0:
             break
+    if changed != 0:
+        warnings.warn(
+            f"connected_components: max_iters={max_iters} reached before "
+            "convergence — labels are partially propagated (dedup built on "
+            "them will keep extra representatives); raise max_iters",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    edges.unpersist()
     return lab
 
 
@@ -188,6 +238,115 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return df.join(losers, id_col, "left_anti")
 
 
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_n: int = 3,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(id, __shingles, __sig) index frame for incremental near-dedup —
+    the artifact a pipeline persists (e.g. as a lake table) so that new
+    corpus increments never re-sketch the existing representatives.
+    Band buckets are re-derived natively from ``__sig`` (a cheap slice
+    projection), so only shingle sets + signatures need storing."""
+    return with_shingles(
+        spread(df.select(F.col(id_col), F.col(text_col))),
+        text_col, shingle_n, hash_mode,
+    ).select(
+        F.col(id_col).alias("id"),
+        "__shingles",
+        minhash_signature_col(F.col("__shingles"), n_hashes).alias("__sig"),
+    )
+
+
+def _index_bands(index: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
+    return index.select(
+        "id",
+        F.explode(
+            lsh_bands_col(F.col("__sig"), n_bands, rows_per_band)
+        ).alias("b"),
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+    hash_mode: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dedup a corpus INCREMENT against the existing representative
+    index (from :func:`build_minhash_index`) without recomputing anything
+    over the existing corpus — the CDC-composable form of
+    :func:`minhash_dedup`.
+
+    Returns ``(kept_new, updated_index)``: new docs that survive (no
+    verified near-dup among existing representatives or earlier new docs,
+    onepass semantics: existing always wins; among new docs the smaller id
+    wins), and the index with the survivors appended — feed it to the next
+    increment.
+
+    The 100 TB shape: the existing side contributes a stored (id, sig)
+    projection only — its text is never re-read, never re-shingled; both
+    candidate joins are (band, bhash) bucket equi-joins; exact-Jaccard
+    verification joins shingle sets back per side for candidates only.
+    Equivalence caveat (same as ``strategy="onepass"``): a new doc that
+    near-duplicates only a previously *dropped* doc (not its surviving
+    representative) is kept — acceptable in web-dedup practice, tested in
+    tests/test_dedup_quality.py.
+    """
+    rows_per_band = n_hashes // n_bands
+    new_index = build_minhash_index(
+        new_df, text_col, id_col, n_hashes, shingle_n, hash_mode
+    )
+    nb = _index_bands(new_index, n_bands, rows_per_band)
+    ob = _index_bands(index, n_bands, rows_per_band)
+    # new vs existing: any verified hit kills the new doc
+    cand_old = (
+        nb.select(F.col("id").alias("id_n"), "band", "bhash")
+        .join(ob.select(F.col("id").alias("id_o"), "band", "bhash"),
+              ["band", "bhash"])
+        .select("id_n", "id_o")
+        .distinct()
+    )
+    # new vs new: smaller id wins (same onepass rule as the batch path)
+    cand_new = (
+        nb.select(F.col("id").alias("id_n"), "band", "bhash")
+        .join(nb.select(F.col("id").alias("id_o"), "band", "bhash"),
+              ["band", "bhash"])
+        .filter(F.col("id_o") < F.col("id_n"))
+        .select("id_n", "id_o")
+        .distinct()
+    )
+    sh_n = new_index.select(F.col("id").alias("id_n"),
+                            F.col("__shingles").alias("sh_n"))
+    sh_o = index.unionByName(new_index).select(
+        F.col("id").alias("id_o"), F.col("__shingles").alias("sh_o")
+    )
+    losers = (
+        cand_old.unionByName(cand_new)
+        .join(sh_n, "id_n")
+        .join(sh_o, "id_o")
+        .filter(F.round(jaccard_col(F.col("sh_n"), F.col("sh_o")), 6)
+                >= min_jaccard)
+        .select(F.col("id_n").alias(id_col))
+        .distinct()
+    )
+    kept = new_df.join(losers, id_col, "left_anti")
+    updated = index.unionByName(
+        new_index.join(
+            losers.select(F.col(id_col).alias("id")), "id", "left_anti"
+        )
+    )
+    return kept, updated
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,
@@ -211,9 +370,10 @@ def decontaminate(
         .select(F.explode("__shingles").alias("__s"))
         .distinct()
     )
-    doc_sh = with_shingles(spread(df), text_col, shingle_n, hash_mode).select(
-        F.col(id_col), F.explode("__shingles").alias("__s")
-    )
+    doc_sh = with_shingles(
+        spread(df.select(F.col(id_col), F.col(text_col))),  # narrow first
+        text_col, shingle_n, hash_mode,
+    ).select(F.col(id_col), F.explode("__shingles").alias("__s"))
     # the contaminated-id set is ids-only and typically a small fraction of
     # the corpus — broadcast it so the join back is map-side (unhinted,
     # Catalyst can't estimate the post-join distinct and picks a full
@@ -244,9 +404,9 @@ def ngram_jaccard_pairs(
     """Exact all-pairs n-gram Jaccard (no LSH) — the small-data oracle for
     minhash_lsh_pairs and a correctness baseline. O(n²): only for modest n;
     the scale path is minhash_lsh_pairs."""
-    base = with_shingles(spread(df), text_col, shingle_n).select(
-        F.col(id_col).alias("id"), "__shingles"
-    )
+    base = with_shingles(
+        spread(df.select(F.col(id_col), F.col(text_col))), text_col, shingle_n
+    ).select(F.col(id_col).alias("id"), "__shingles")
     a = base.select(F.col("id").alias("id_a"), F.col("__shingles").alias("sh_a"))
     b = base.select(F.col("id").alias("id_b"), F.col("__shingles").alias("sh_b"))
     return (
@@ -271,7 +431,7 @@ def simhash_pairs(
     least one of four 16-bit chunks — join on (chunk_idx, chunk_value),
     verify with bit_count(xor). One shuffle on the chunk buckets.
     """
-    hashed = spread(df).select(
+    hashed = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         simhash64(token_hashes_col(tokens_col(F.col(text_col)), hash_mode)).alias("sh"),
     )

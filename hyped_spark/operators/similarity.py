@@ -57,7 +57,8 @@ def brute_force_topk(
     from pyspark.sql import Window
 
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
-    c = spread(corpus).select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    # narrow projection BEFORE spread (pruning doesn't push through repartition)
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")))
     scored = c.join(F.broadcast(q)).withColumn(
         "cosine", F.round(cosine_col(F.col("__qv"), F.col("__cv")), 6)
     )
@@ -129,7 +130,7 @@ def lsh_topk(
     from pyspark.sql import Window
 
     sketch = make_sketch_udf(dim, n_bits)
-    c = spread(corpus).select(F.col(id_col), F.col(vec_col).alias("__cv")).withColumn(
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))).withColumn(
         "__bucket", sketch(F.col("__cv"))
     )
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")).withColumn(
@@ -244,7 +245,7 @@ def ivf_topk(
 
         return cells
 
-    c = spread(corpus).select(F.col(id_col), F.col(vec_col).alias("__cv")).withColumn(
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))).withColumn(
         "__cell", make_cells_udf(1)(F.col("__cv"))[0]
     )
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")).withColumn(
@@ -312,23 +313,98 @@ def sq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Top-k cosine over an int8 scalar-quantized corpus: the corpus side
-    carries 1/4 the bytes of float32 (1/8 of double); queries stay
+    """Top-k cosine over an int8-range scalar-quantized corpus.
+
+    The corpus is MATERIALIZED as ``array<smallint>`` codes before the
+    scoring join — those 2-byte codes (1/2 of float32, 1/4 of double) are
+    what flows through every downstream exchange; dequantization happens
+    at scoring time, after the join, inside codegen. Queries stay
     full-precision. Approximation error shows up only in the cosine
     values/ranking — recall vs exact is tested in
-    tests/test_dedup_quality.py."""
+    tests/test_dedup_quality.py, and the storage shape is plan-guarded
+    (tests/test_plan_guards.py asserts the pre-join corpus schema carries
+    the smallint codes, not doubles)."""
     from pyspark.sql import Window
 
     lo, hi = quantization_params(corpus, dim, vec_col)
-    c = spread(corpus).select(
+    c = spread(corpus.select(
         F.col(id_col),
-        dequantize_col(
-            quantize_col(F.col(vec_col), lo, hi), lo, hi
-        ).alias("__cv"),
-    )
+        quantize_col(F.col(vec_col), lo, hi).alias("__cq"),
+    ))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
     scored = c.join(F.broadcast(q)).withColumn(
-        "cosine", F.round(cosine_col(F.col("__qv"), F.col("__cv")), 6)
+        "cosine",
+        F.round(
+            cosine_col(F.col("__qv"), dequantize_col(F.col("__cq"), lo, hi)), 6
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def ivf_sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    train_cap: int = 100_000,
+    n_iters: int = 5,
+) -> DataFrame:
+    """IVF-SQ: the IVF coarse quantizer prunes candidates AND the pruned
+    corpus flows as int8-range codes — quantization buys compute (via the
+    cell equi-join) and bytes (via the smallint codes) at once, the
+    standard FAISS ``IVFx,SQ8`` composition.
+
+    Plan shape: one bounded training job (hash-sampled k-means, see
+    :func:`ivf_train_centroids`), one exact min/max aggregate for the
+    quantization params, then the corpus is projected ONCE to
+    (id, cell, codes) — cell assignment reads the full-precision vector,
+    but what crosses the candidate equi-join is the 2-byte codes. Queries
+    explode to ``n_probe`` cells; the corpus is never duplicated; scoring
+    dequantizes inline post-join. Every step is bit-reproducible, so the
+    DuckDB oracle replays the full fit + quantization + scoring in SQL.
+    """
+    from pyspark.sql import Window
+
+    C = ivf_train_centroids(
+        corpus, n_lists, id_col, vec_col, train_cap=train_cap, n_iters=n_iters
+    )
+    lo, hi = quantization_params(corpus, dim, vec_col)
+
+    def make_cells_udf(n: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def cells(vec: pd.Series) -> pd.Series:  # pragma: no cover (executor)
+            M = np.stack(vec.to_numpy())
+            d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :n].astype(np.int32)
+            return pd.Series(list(order))
+
+        return cells
+
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))).select(
+        F.col(id_col),
+        make_cells_udf(1)(F.col("__cv"))[0].alias("__cell"),
+        quantize_col(F.col("__cv"), lo, hi).alias("__cq"),
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")).withColumn(
+        "__cell", F.explode(make_cells_udf(n_probe)(F.col("__qv")))
+    )
+    scored = c.join(F.broadcast(q), "__cell").withColumn(
+        "cosine",
+        F.round(
+            cosine_col(F.col("__qv"), dequantize_col(F.col("__cq"), lo, hi)), 6
+        ),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -380,8 +456,8 @@ def embedding_neardup_pairs(
     band_bits bounds the bucket count per band at 2^band_bits.
     """
     sketch = make_multi_sketch_udf(dim, n_bands, band_bits)
-    base = spread(corpus).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    base = spread(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     )
     bands = base.select(
         "id", F.posexplode(sketch(F.col("v"))).alias("band", "bucket")
