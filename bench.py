@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "ann_topk_sq8",
+    "ann_topk_ivf_sq",
     "embedding_neardup",
     "relex_mark_docs",
     "seq_val_hist",
@@ -51,8 +52,12 @@ BENCH_QUERIES = [
     "range_join_parts",
     "hash_split_docs",
     "pack_sequences_docs",
-    "repetition_docs",
-    "decontaminate_docs",
+    # the _fast variants are the operators' scale defaults (native xxhash64
+    # gram hashing); the md5-portable twins exist for the DuckDB oracle and
+    # run at correctness sf only — benching them measured the oracle tax,
+    # not the engine (47% of the r3 total was md5 in decontaminate_docs)
+    "repetition_docs_fast",
+    "decontaminate_docs_fast",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

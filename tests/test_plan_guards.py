@@ -29,8 +29,38 @@ def _exchanges(plan: str) -> int:
 def test_no_cartesian_on_scale_paths(spark):
     q = entrymod.queries()
     for name in ["minhash_pairs_docs", "simhash_pairs_docs",
-                 "embedding_neardup", "ann_topk_lsh", "ann_topk_ivf"]:
+                 "embedding_neardup", "ann_topk_lsh", "ann_topk_ivf",
+                 "ann_topk_ivf_sq", "decontaminate_docs_fast"]:
         assert "CartesianProduct" not in _plan(q[name](spark, SF_DIR)), name
+
+
+def test_sq_corpus_flows_as_smallint_codes(spark):
+    """ADVICE r3: quantization must buy real bytes — the corpus side of the
+    SQ scoring join carries array<smallint> codes (2 B/dim), with
+    dequantization AFTER the join, not dequantized doubles before it."""
+    q = entrymod.queries()
+    for name in ["ann_topk_sq8", "ann_topk_ivf_sq"]:
+        p = _plan(q[name](spark, SF_DIR))
+        # the quantize projection materializes smallint codes (__cq) and
+        # they are what the join consumes
+        assert "smallint" in p, name
+        assert "__cq" in p, name
+
+
+def test_spread_shuffles_narrow_projection_only(spark):
+    """VERDICT r3 #7: column pruning does not push through repartition, so
+    library operators must project (id, text) BEFORE spread() — the
+    documents scan in the sketch pipelines reads two columns, never the
+    carried source/lang/n_chars."""
+    q = entrymod.queries()
+    for name in ["minhash_pairs_docs", "simhash_pairs_docs",
+                 "decontaminate_docs_fast", "repetition_docs_fast"]:
+        p = _plan(q[name](spark, SF_DIR))
+        for chunk in p.split("ReadSchema: ")[1:]:
+            schema_line = chunk.splitlines()[0]
+            if "doc_id" in schema_line:  # the documents scan
+                assert "source" not in schema_line, (name, schema_line)
+                assert "n_chars" not in schema_line, (name, schema_line)
 
 
 def test_narrow_scan_prunes_and_pushes(spark):
