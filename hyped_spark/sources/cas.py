@@ -1,11 +1,15 @@
-"""UIMA CAS dataset reader (S3): .xmi annotation files → one row per CAS.
+"""UIMA CAS dataset reader (S3): .xmi / .json CAS files → one row per CAS.
 
 Spark-native reimplementation of the reference's CasDataset
 (reference src/hyped/data/io/datasets/cas.py:69-158, 183-317), which loads
-UIMA XMI files with the ``cassis`` library across a multiprocessing pool.
-Here the pool is Spark: a ``binaryFile`` scan parallelizes over files and a
-``mapInPandas`` stage parses each CAS with stdlib ``xml.etree`` (no UIMA
-dependency — the XMI subset a CAS dump uses is plain namespaced XML).
+UIMA XMI or UIMA-JSON files with the ``cassis`` library across a
+multiprocessing pool. Here the pool is Spark: a ``binaryFile`` scan
+parallelizes over files and a ``mapInPandas`` stage parses each CAS with
+the stdlib — ``xml.etree`` for XMI (the XMI subset a CAS dump uses is
+plain namespaced XML), ``json`` for the UIMA JSON CAS format
+(``%FEATURE_STRUCTURES`` / ``%ID`` / ``%TYPE`` / ``@ref`` keys). Format is
+chosen per file by extension, exactly like the reference worker
+(cas.py:95-96).
 
 Output schema mirrors the reference's feature dict exactly:
 
@@ -140,8 +144,8 @@ def _elem_type_name(tag: str) -> str:
     return f"{pkg}.{local}" if pkg else local
 
 
-def _parse_cas(content: bytes, fpath: str, ts: TypeSystem,
-               requested: list[str]) -> dict | None:
+def _extract_xmi(content: bytes, requested: list[str]):
+    """(sofa, by_type string-attr dicts) from an .xmi CAS, or None."""
     try:
         root = ET.fromstring(content)
     except ET.ParseError:
@@ -154,6 +158,59 @@ def _parse_cas(content: bytes, fpath: str, ts: TypeSystem,
             sofa = el.get("sofaString")
         elif tname in by_type:
             by_type[tname].append(dict(el.attrib))
+    return sofa, by_type
+
+
+def _extract_json(content: bytes, requested: list[str]):
+    """(sofa, by_type) from a UIMA JSON CAS (the cassis
+    ``load_cas_from_json`` format the reference also accepts,
+    reference src/hyped/data/io/datasets/cas.py:95-96): feature
+    structures under ``%FEATURE_STRUCTURES`` with ``%ID``/``%TYPE`` keys
+    and ``@feat`` for references. Values are normalized to the same
+    string-attr convention as the XMI path so both formats share one
+    downstream pipeline (sort, xmiID→index, casting)."""
+    import json as _json
+
+    try:
+        doc = _json.loads(content)
+    except (ValueError, UnicodeDecodeError):
+        return None
+    fss = doc.get("%FEATURE_STRUCTURES")
+    if not isinstance(fss, list):
+        return None
+    sofa = None
+    by_type: dict[str, list[dict]] = {t: [] for t in requested}
+    for fs in fss:
+        if not isinstance(fs, dict):
+            continue
+        tname = fs.get("%TYPE")
+        if tname == "uima.cas.Sofa":
+            sofa = fs.get("sofaString")
+            continue
+        if tname not in by_type:
+            continue
+        attrs: dict[str, str] = {}
+        for k, v in fs.items():
+            if k == "%ID":
+                attrs["xmi:id"] = str(v)
+            elif k.startswith("@"):  # FS reference → target %ID
+                attrs[k[1:]] = str(v)
+            elif not k.startswith("%"):
+                if isinstance(v, bool):
+                    attrs[k] = "true" if v else "false"
+                elif v is not None:
+                    attrs[k] = str(v)
+        by_type[tname].append(attrs)
+    return sofa, by_type
+
+
+def _parse_cas(content: bytes, fpath: str, ts: TypeSystem,
+               requested: list[str]) -> dict | None:
+    extract = _extract_json if fpath.endswith(".json") else _extract_xmi
+    parsed = extract(content, requested)
+    if parsed is None:
+        return None
+    sofa, by_type = parsed
 
     def sort_key(a: dict):
         # UIMA annotation index order: begin asc, end desc, id asc
@@ -202,9 +259,11 @@ def read_cas_dataset(
     typesystem: str,
     annotation_types: list[str] | None = None,
 ) -> DataFrame:
-    """Read a directory of ``.xmi`` CAS files into a DataFrame (one row per
-    CAS). ``typesystem`` is a TypeSystemDescription XML path; unparseable
-    files are skipped (the reference worker's behavior)."""
+    """Read a directory of ``.xmi`` / ``.json`` CAS files into a DataFrame
+    (one row per CAS; format chosen per file by extension, like the
+    reference worker — reference src/hyped/data/io/datasets/cas.py:95-96).
+    ``typesystem`` is a TypeSystemDescription XML path; unparseable files
+    are skipped (the reference worker's behavior)."""
     ts = load_typesystem(typesystem)
     requested = ts.select(annotation_types)
     schema = cas_schema(ts, annotation_types)
@@ -212,7 +271,7 @@ def read_cas_dataset(
 
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.xmi")
+        .option("pathGlobFilter", "*.{xmi,json}")
         .load(path)
         .select("path", "content")
     )

@@ -49,6 +49,24 @@ XMI = """<?xml version="1.0" encoding="UTF-8"?>
 """
 
 
+# the same CAS as XMI, in the UIMA JSON format cassis load_cas_from_json
+# accepts (the reference reads both by extension, cas.py:95-96)
+CAS_JSON = """{
+  "%TYPES": [],
+  "%FEATURE_STRUCTURES": [
+    {"%ID": 1, "%TYPE": "uima.cas.Sofa", "sofaNum": 1,
+     "sofaID": "_InitialView", "mimeType": "text",
+     "sofaString": "hello json"},
+    {"%ID": 7, "%TYPE": "com.example.Token", "@sofa": 1,
+     "begin": 6, "end": 10, "pos": "NN"},
+    {"%ID": 3, "%TYPE": "com.example.Token", "@sofa": 1,
+     "begin": 0, "end": 5, "pos": "DT"},
+    {"%ID": 9, "%TYPE": "com.example.Entity", "@sofa": 1,
+     "begin": 0, "end": 10, "label": "THING", "@head": 7}
+  ]
+}"""
+
+
 @pytest.fixture()
 def cas_dir(tmp_path):
     (tmp_path / "ts.xml").write_text(TYPESYSTEM)
@@ -82,6 +100,34 @@ def test_read_cas_dataset(spark, cas_dir):
     # nested ref: Entity.head points at xmi:id=7 -> Token index 1
     assert r["com.example.Entity:head"] == [1]
     assert rows["doc2.xmi"]["sofa"] == "second doc"
+
+
+def test_read_cas_dataset_json_variant(spark, cas_dir):
+    """A mixed directory of .xmi and UIMA-JSON .json CAS files reads into
+    ONE frame with identical annotation/ref-index semantics per format
+    (reference cas.py:95-96 load_cas_from_json); corrupt JSON is skipped
+    like corrupt XMI."""
+    from hyped_spark.sources.cas import read_cas_dataset
+
+    d = cas_dir / "cas"
+    (d / "doc3.json").write_text(CAS_JSON)
+    (d / "broken.json").write_text("{not json")
+    df = read_cas_dataset(
+        spark, str(d), str(cas_dir / "ts.xml"),
+        ["com.example.Token", "com.example.Entity"],
+    )
+    rows = {r["meta"]["file_path"].split("/")[-1]: r for r in df.collect()}
+    assert set(rows) == {"doc1.xmi", "doc2.xmi", "doc3.json"}
+
+    r = rows["doc3.json"]
+    assert r["sofa"] == "hello json"
+    # annotation-index order (begin asc), typed features cast per typesystem
+    assert r["com.example.Token:begin"] == [0, 6]
+    assert r["com.example.Token:pos"] == ["DT", "NN"]
+    # FS reference @head=7 -> Token with %ID 7 -> index 1
+    assert r["com.example.Entity:head"] == [1]
+    # and the XMI siblings are unchanged by the mixed scan
+    assert rows["doc1.xmi"]["com.example.Entity:head"] == [1]
 
 
 def test_cas_unknown_type_raises(spark, cas_dir):
