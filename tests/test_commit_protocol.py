@@ -111,3 +111,30 @@ def test_current_version_single_listdir_per_lifetime(spark, tmp_path, monkeypatc
     # a fresh handle on the same path still sees the committed state
     t2 = table_mod.SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4)
     assert t2.current_version() == eng.table.current_version()
+
+
+def test_refresh_observes_other_handle_commits(spark, tmp_path):
+    """ADVICE r3: a long-lived read-only handle keeps a stable cached view;
+    refresh() rescans the log and picks up commits made through another
+    handle (writers always see their own via _commit advancing the cache)."""
+    from hyped_spark.lake.table import SnapshotTable
+    from hyped_spark.plans.replay import ReplayEngine, target_schema
+
+    writer = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4)
+    writer.init_empty(target_schema())
+    reader = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4)
+    v0 = reader.current_version()
+
+    schema = ("url string, lsn long, warc_ts timestamp, html binary, "
+              "lang string, op string")
+    ev = spark.createDataFrame(
+        [("a", 1, None, b"<html><body>x</body></html>", "en", "upsert")],
+        schema,
+    )
+    writer.merge_events(ev, batch_id=0,
+                        transform=ReplayEngine._extract_transform)
+    # cached view: the reader handle does NOT see the new commit...
+    assert reader.current_version() == v0
+    # ...until it refreshes (returns the new version, then read() sees it)
+    assert reader.refresh() == writer.current_version() > v0
+    assert reader.read().count() == 1
