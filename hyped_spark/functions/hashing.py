@@ -70,8 +70,32 @@ def shingles_col(tokens: Column, n: int = 3, hash_mode: str = "xxhash64") -> Col
 
     Output: array<long> of distinct shingle hashes — the set representation
     used for both MinHash and exact Jaccard verification.
+
+    ``xxhash64`` (scale) mode hashes each token ONCE and folds gram hashes
+    pairwise with ``zip_with`` over shifted slices — no gram string is ever
+    materialized (the same measured-6× trick as
+    ``text.dup_ngram_frac_col(hashed=True)``); set semantics are identical
+    modulo 2^-64 collisions. ``md5`` (oracle) mode keeps literal
+    md5-of-gram-string hashing so the DuckDB twin reproduces values
+    bit-for-bit.
     """
     n_tokens = F.size(tokens)
+    if hash_mode == "xxhash64":
+        th = F.transform(tokens, lambda t: F.xxhash64(t))
+        g = th
+        for j in range(1, n):
+            g = F.zip_with(
+                g,
+                F.slice(th, j + 1, F.greatest(n_tokens - j, F.lit(0))),
+                lambda a, b: F.xxhash64(a, b),
+            )
+        grams = F.when(
+            n_tokens >= n, F.slice(g, 1, F.greatest(n_tokens - (n - 1), F.lit(0)))
+        ).otherwise(
+            # short docs: whole doc is one shingle
+            F.array(h64_col(F.concat_ws(" ", tokens), hash_mode))
+        )
+        return F.array_distinct(grams)
     starts = F.sequence(
         F.lit(0), F.greatest(n_tokens - n, F.lit(0)), F.lit(1)
     )
