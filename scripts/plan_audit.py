@@ -150,6 +150,35 @@ def main() -> None:
         ("window partitioned (per-partition cumsum)", "Window" in p),
     ]))
 
+    # 11. IVF-SQ: cell pruning AND int8 codes through the candidate join
+    p = plan_of(q["ann_topk_ivf_sq"](spark, SF))
+    sections.append(("ann_topk_ivf_sq (cell equi-join over int8 codes)", p, [
+        ("no cartesian product", "CartesianProduct" not in p),
+        ("query side broadcast", "BroadcastHashJoin" in p),
+        ("corpus flows as array<smallint> codes", "smallint" in p and "__cq" in p),
+    ]))
+
+    # 12. decontamination scale path: benchmark side broadcast both ways —
+    # the corpus is never shuffled for the membership check or the join-back
+    p = plan_of(q["decontaminate_docs_fast"](spark, SF))
+    sections.append(("decontaminate_docs_fast (broadcast semi-join, xxhash64)", p, [
+        ("no sort-merge join (corpus never shuffles for the check)",
+         "SortMergeJoin" not in p),
+        ("broadcast joins only", "BroadcastHashJoin" in p),
+        ("no cartesian product", "CartesianProduct" not in p),
+    ]))
+
+    # 13. repetition scale path: map-only — the only exchange allowed is the
+    # small-scan spread() repartition, and no join/aggregate anywhere
+    p = plan_of(q["repetition_docs_fast"](spark, SF))
+    sections.append(("repetition_docs_fast (map-only fold-hash grams)", p, [
+        ("at most one exchange (the spread fan-out; none at scale)",
+         len(re.findall(r"\(\d+\) Exchange", p)) <= 1),
+        ("no join", "Join" not in p),
+        ("native codegen (no Python eval)", "ArrowEvalPython" not in p
+         and "BatchEvalPython" not in p),
+    ]))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)\n"]
     all_ok = True
     for title, plan, checks in sections:
