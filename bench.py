@@ -100,6 +100,22 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # scale-path twins of the md5-portable sketch queries: the operators'
+    # xxhash64 defaults, timed directly (candidate sets depend on hash
+    # values, so these can't carry a DuckDB value oracle like the _fast
+    # gram queries — quality is held by tests/test_dedup_quality.py; the
+    # md5 entries above remain the oracle-checked contract queries)
+    from hyped_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    for name, df in [
+        ("minhash_pairs_scale", minhash_lsh_pairs(docs, min_jaccard=0.5)),
+        ("simhash_pairs_scale", simhash_pairs(docs)),
+    ]:
+        t0 = time.monotonic()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
     # -- CDC merge-apply throughput (the north-rule headline) --
     from hyped_spark.plans.replay import ReplayConfig, ReplayEngine
     from hyped_spark.sources.synthetic import binlog
