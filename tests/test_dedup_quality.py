@@ -568,3 +568,74 @@ def test_ivf_sq_topk_recall_and_pruning(spark):
             for r in ivf_sq_topk(emb, queries, dim=dim, k=1, n_lists=8,
                                  n_probe=2).collect()}
     assert all(q == v for q, v in top1.items())
+
+
+def test_incremental_dedup_composes_with_cdc_table(spark, tmp_path):
+    """The CDC-composability recipe end-to-end: replay a binlog into the
+    lake table, build the dedup index from the TABLE state (url as the id),
+    then dedup an increment of fresh change rows against it — near-copies
+    of already-ingested pages are dropped without re-sketching the table."""
+    from hyped_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_dedup,
+    )
+    from hyped_spark.plans.replay import ReplayConfig, ReplayEngine
+    from hyped_spark.sources.synthetic import binlog
+
+    eng = ReplayEngine(spark, ReplayConfig(
+        table_path=str(tmp_path / "t"), metrics_path=str(tmp_path / "m"),
+        batch_lsns=500, n_buckets=4))
+    eng.replay(binlog(spark, 1_000, 80))
+    state = eng.table.read().select("url", "text").filter(F.col("text").isNotNull())
+    assert state.count() > 0
+
+    # the persisted index artifact (in production: written as a lake table)
+    idx = build_minhash_index(state, text_col="text", id_col="url")
+
+    # increment: fresh pages + near-copies of ingested pages under new urls
+    fresh = state.limit(0).unionByName(spark.createDataFrame(
+        [(f"https://new{i}.example.com/", f"completely fresh page body {i} "
+          f"with its own unrelated words number {i}") for i in range(5)],
+        "url string, text string"))
+    copies = state.limit(10).select(
+        F.concat(F.lit("https://mirror.example.com/"), F.col("url")).alias("url"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    new = fresh.unionByName(copies)
+
+    kept, updated = incremental_minhash_dedup(
+        new, idx, text_col="text", id_col="url", min_jaccard=0.5)
+    kept_urls = {r.url for r in kept.select("url").collect()}
+    # every mirror of an ingested page dies against the existing index
+    assert not any(u.startswith("https://mirror.") for u in kept_urls)
+    # fresh pages survive and join the index for the next increment
+    assert sum(u.startswith("https://new") for u in kept_urls) == 5
+    assert updated.count() == idx.count() + len(kept_urls)
+
+
+def test_fold_hash_gram_kernels_match_string_mode(spark):
+    """The zip_with fold-hash kernels must reproduce string-gram semantics
+    exactly on duplicate-heavy input: dup_ngram_frac hashed==string for
+    n∈{2,3}, and shingles_col xxhash64-mode set SIZES equal md5-mode's
+    (small vocab forces heavy gram collisions-in-the-string-sense, the
+    regime where a fold bug would change distinct counts)."""
+    import random
+
+    from hyped_spark.functions.hashing import shingles_col, tokens_col
+    from hyped_spark.functions.text import dup_ngram_frac_col
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+        for _ in range(300)
+    ] + ["", "aa", "aa bb", "aa aa aa aa", "zz " * 50]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    toks = tokens_col(F.col("text"))
+    bad = df.select(
+        (dup_ngram_frac_col(toks, 2) != dup_ngram_frac_col(toks, 2, hashed=True)).alias("b2"),
+        (dup_ngram_frac_col(toks, 3) != dup_ngram_frac_col(toks, 3, hashed=True)).alias("b3"),
+        (F.size(shingles_col(toks, 3, "xxhash64"))
+         != F.size(shingles_col(toks, 3, "md5"))).alias("bs"),
+    ).filter("b2 or b3 or bs").count()
+    assert bad == 0
