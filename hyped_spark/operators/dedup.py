@@ -40,13 +40,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per exact normalized-text fingerprint.
 
+    Shape: window row_number over the fingerprint partition — the same
+    kernel as the CDC merge's LWW rank. ONE exchange, and Spark's partial
+    ``WindowGroupLimit`` (rank ≤ 1 pushed below the shuffle) drops losing
+    duplicates MAP-SIDE, so duplicate payload never crosses the wire — the
+    prior hash-agg + semi-join shape shipped every row's payload through
+    the join shuffle and measured 3.7× slower at sf0.1 (2.35s → 0.64s).
+    Plan-guarded in tests/test_plan_guards.py.
+
     No spread() here: fingerprinting is one cheap native pass, and the
     fan-out shuffle measured 2.5x slower than just computing in place
     (unlike shingling/sketching, where spread pays for itself)."""
+    from pyspark.sql import Window
+
     keyed = df.withColumn("__fp", fingerprint_col(F.col(text_col)))
-    reps = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    # semi-join back to recover full rows of the representatives only
-    return keyed.join(reps, [id_col, "__fp"], "left_semi").drop("__fp")
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,

@@ -77,6 +77,15 @@ def test_window_topk_single_exchange(spark):
     assert "WindowGroupLimit" in p
 
 
+def test_exact_dedup_single_exchange_grouplimit(spark):
+    """exact_dedup is the LWW-rank shape: one exchange, with the partial
+    WindowGroupLimit dropping duplicate payload before the shuffle."""
+    p = _plan(entrymod.queries()["exact_dedup_docs"](spark, SF_DIR))
+    assert _exchanges(p) == 1
+    assert len(re.findall(r"\(\d+\) WindowGroupLimit", p)) >= 2  # partial+final
+    assert "Join" not in p
+
+
 def test_pack_no_single_partition_exchange(spark):
     p = _plan(entrymod.queries()["pack_sequences_docs"](spark, SF_DIR))
     assert "Exchange SinglePartition" not in p
