@@ -596,6 +596,33 @@ def decontaminate_docs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "contaminated")
 
 
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (index-based) near-dedup — the CDC-composable recipe:
+    even-id docs are the already-ingested corpus whose representative
+    index is persisted; the increment is the odd-id docs plus planted
+    near-copies of existing docs (id 100001+k, text + ' tail'). Returns
+    the surviving increment ids. md5 hash mode → the whole decision
+    (signatures, banding, candidate rules old-beats-new / smaller-new-id-
+    wins, exact-Jaccard verification) is replayed by the DuckDB oracle."""
+    from hyped_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_dedup,
+    )
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    planted = old.filter(F.col("doc_id") < 40).select(
+        (F.lit(100001) + F.col("doc_id")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    new = d.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
+    idx = build_minhash_index(old, hash_mode="md5")
+    kept, _updated = incremental_minhash_dedup(
+        new, idx, min_jaccard=0.5, hash_mode="md5"
+    )
+    return kept.select("doc_id")
+
+
 def seq_val_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SequenceValueHistogram analogue (A5): binned histogram over flattened
     array values (here: per-word lengths of part names)."""
@@ -728,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs_fast": repetition_docs_fast,
         "decontaminate_docs": decontaminate_docs,
         "decontaminate_docs_fast": decontaminate_docs_fast,
+        "incremental_dedup_docs": incremental_dedup_docs,
         "source_mixture_docs": source_mixture_docs,
         "quality_scores": quality_scores,
         "asof_join_events": asof_join_events,
@@ -915,6 +943,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs_fast": _decontaminate_strings_oracle(
             bench_mod=37, shingle_n=3
         ),
+        "incremental_dedup_docs": _incremental_dedup_oracle(min_jaccard=0.5),
         "source_mixture_docs": """
             WITH c AS (
                 SELECT source, pow(count(*), 0.5) AS w FROM documents
@@ -1471,6 +1500,72 @@ def _ann_ivf_sq_oracle(
                                          ORDER BY cosine DESC, vec_id ASC) AS rank
             FROM scored
         ) WHERE rank <= {k}
+    """
+
+
+def _incremental_dedup_oracle(min_jaccard: float = 0.5, n_hashes: int = 64,
+                              n_bands: int = 16) -> str:
+    """DuckDB twin of incremental_dedup_docs: same corpus construction
+    (documents + planted odd-id near-copies), the _minhash_oracle signature
+    / banding machinery over the WHOLE corpus (md5 shingles, embedded
+    permutation coefficients, band-string equality), then the incremental
+    candidate rules — a new (odd/planted) doc loses to ANY banded-colliding
+    existing (even) doc, or to a SMALLER colliding new doc — with exact
+    shingle-set Jaccard verification. Output: surviving new ids."""
+    from hyped_spark.functions.hashing import MERSENNE_P, _coeffs
+
+    rows_per_band = n_hashes // n_bands
+    coef_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_coeffs(n_hashes, seed=42))
+    )
+    sh_hash = _H60.format(expr="array_to_string(list_slice(t, i, i + 2), ' ')")
+    sh_short = _H60.format(expr="coalesce(array_to_string(t, ' '), '')")
+    return f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT 100001 + doc_id AS doc_id, text || ' tail' AS text
+            FROM documents WHERE doc_id % 2 = 0 AND doc_id < 40
+        ), toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                               x -> len(x) > 0) AS t
+            FROM corpus
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN
+                     list_distinct([{sh_hash} for i in range(1, len(t) - 1)])
+                   ELSE [{sh_short}] END AS shingles
+            FROM toks
+        ), shl AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), coef(i, a, b) AS (
+            SELECT * FROM (VALUES {coef_rows})
+        ), mh AS (
+            SELECT shl.doc_id, coef.i,
+                   MIN((coef.a * (shl.s % {MERSENNE_P}) + coef.b) % {MERSENNE_P}) AS m
+            FROM shl CROSS JOIN coef GROUP BY shl.doc_id, coef.i
+        ), bsig AS (
+            SELECT doc_id, i // {rows_per_band} AS band,
+                   string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bstr
+            FROM mh GROUP BY doc_id, i // {rows_per_band}
+        ), cand AS (
+            -- is_new(id) := odd ids (planted 100001+even are odd too)
+            SELECT DISTINCT x.doc_id AS id_o, y.doc_id AS id_n
+            FROM bsig x JOIN bsig y
+              ON x.band = y.band AND x.bstr = y.bstr AND x.doc_id <> y.doc_id
+            WHERE y.doc_id % 2 = 1
+              AND (x.doc_id % 2 = 0 OR x.doc_id < y.doc_id)
+        ), losers AS (
+            SELECT DISTINCT c.id_n FROM cand c
+            JOIN sh sa ON sa.doc_id = c.id_o
+            JOIN sh sb ON sb.doc_id = c.id_n
+            WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                  >= {min_jaccard}
+        )
+        SELECT doc_id FROM corpus
+        WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT id_n FROM losers)
     """
 
 
