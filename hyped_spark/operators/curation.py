@@ -90,7 +90,8 @@ def source_mixture_weights(
     """
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
     weights = counts.withColumn("__w", F.pow(F.col("__n"), F.lit(alpha)))
-    total = weights.agg(F.sum("__w")).collect()[0][0]
+    # empty corpus → sum is NULL; any non-zero divisor works (no rows)
+    total = weights.agg(F.sum("__w")).collect()[0][0] or 1.0
     weights = weights.select(
         source_col,
         F.round(F.col("__w") / F.lit(float(total)), 6).alias(weight_col),

@@ -16,8 +16,17 @@ Stages (each one a library operator — this script only chains them):
 8. sequence-packing manifest   (concat-then-chunk offsets for the train split)
 
 Outputs under --out: ``curated/`` (parquet corpus with weights + split),
-``packing/`` (chunk manifest), and one summary JSON line on stdout with
-per-stage row counts — the shape a 100 TB run would emit to its job log.
+``packing/`` (chunk manifest), ``dedup_index/`` (the MinHash representative
+index: id, shingle set, signature), and one summary JSON line on stdout
+with per-stage row counts — the shape a 100 TB run would emit to its log.
+
+Incremental mode (``--incremental``): when ``dedup_index/`` already exists
+under --out, the near-dedup stage treats the input as a corpus DELTA and
+runs :func:`incremental_minhash_dedup` against the stored index — the
+previously-ingested corpus is never re-read or re-sketched — then writes
+the survivors-extended index back. This is how the curation pipeline
+composes with the CDC engine: each committed batch of new pages flows
+through this job with the index as carried state.
 """
 
 from __future__ import annotations
@@ -39,6 +48,10 @@ def main() -> None:
     ap.add_argument("--max-dup-3gram", type=float, default=0.5)
     ap.add_argument("--langs", default="en,de,fr,es,it")
     ap.add_argument("--chunk-tokens", type=int, default=512)
+    ap.add_argument("--min-jaccard", type=float, default=0.8)
+    ap.add_argument("--incremental", action="store_true",
+                    help="near-dedup the input as a DELTA against the "
+                         "persisted dedup_index instead of a full pass")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -55,8 +68,10 @@ def main() -> None:
         split_by_hash,
     )
     from hyped_spark.operators.dedup import (
+        build_minhash_index,
         decontaminate,
         exact_dedup,
+        incremental_minhash_dedup,
         minhash_dedup,
     )
     from hyped_spark.session import get_spark
@@ -69,8 +84,33 @@ def main() -> None:
     d = exact_dedup(docs)
     counts["after_exact_dedup"] = d.count()
 
-    d = minhash_dedup(d, strategy="cc", min_jaccard=0.8)
-    counts["after_minhash_dedup"] = d.count()
+    idx_path = os.path.join(args.out, "dedup_index")
+    if args.incremental and os.path.isdir(idx_path):
+        # delta mode: the stored representative index carries the state;
+        # the existing corpus is never re-read or re-sketched
+        idx = spark.read.parquet(idx_path)
+        counts["index_in"] = idx.count()
+        d, updated = incremental_minhash_dedup(
+            d, idx, min_jaccard=args.min_jaccard)
+        # truncate lineage BEFORE the index swap below: the survivors frame
+        # reads the old index files (anti-join against its band table), and
+        # every later stage would re-execute that read after they're gone
+        d = d.localCheckpoint(eager=True)
+        counts["after_minhash_dedup"] = d.count()
+        tmp = idx_path + ".next"
+        updated.write.mode("overwrite").parquet(tmp)  # updated reads idx_path
+        import shutil
+        shutil.rmtree(idx_path)
+        os.rename(tmp, idx_path)
+        # the session FileStatusCache still holds the old part-file listing
+        # for this path — invalidate before anyone re-reads it
+        spark.catalog.refreshByPath(idx_path)
+        counts["index_out"] = spark.read.parquet(idx_path).count()
+    else:
+        d = minhash_dedup(d, strategy="cc", min_jaccard=args.min_jaccard)
+        counts["after_minhash_dedup"] = d.count()
+        build_minhash_index(d).write.mode("overwrite").parquet(idx_path)
+        counts["index_out"] = spark.read.parquet(idx_path).count()
 
     # deterministic pseudo-eval slice stands in for real benchmark files
     bench = docs.filter(F.col("doc_id") % 97 == 0)

@@ -146,3 +146,15 @@ def test_curation_job_end_to_end(spark, tmp_path, monkeypatch):
     packed = manifest.agg(
         F.sum(F.col("slice_end") - F.col("slice_begin"))).collect()[0][0]
     assert packed == train_tokens
+
+    # --- incremental second pass over the SAME corpus: every doc has a
+    # >=min_jaccard twin in the persisted dedup_index, so the whole
+    # "delta" dies against the index (no re-sketch of the ingested corpus)
+    # and the index is unchanged
+    idx_n = spark.read.parquet(f"{out}/dedup_index").count()
+    assert idx_n > 0
+    monkeypatch.setattr(
+        sys, "argv", ["job", "--out", out, "--cores", "8", "--incremental"])
+    job.main()
+    assert spark.read.parquet(f"{out}/curated").count() == 0
+    assert spark.read.parquet(f"{out}/dedup_index").count() == idx_n
