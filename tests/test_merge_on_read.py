@@ -131,3 +131,33 @@ def test_mor_rejects_unknown_mode(spark, tmp_path):
     t.init_empty(target_schema())
     with pytest.raises(ValueError, match="merge_mode"):
         t.merge_events(binlog(spark, 10, 5), batch_id=0, merge_mode="nope")
+
+
+def test_mor_tie_break_immune_to_snaplike_root_dir(spark, tmp_path):
+    """ADVICE r3: the fragment ordinal is parsed with a regex ANCHORED to
+    the table's own data/snapNNNNNNNNNN/ layout — a table rooted under a
+    directory that itself matches 'snap<digits>' must still resolve
+    equal-ord ties to the newest fragment (the unanchored pattern matched
+    the root and gave every fragment the same constant ordinal)."""
+    from hyped_spark.lake.table import SnapshotTable
+    from hyped_spark.plans.replay import target_schema
+
+    root = tmp_path / "snap2026081700" / "t"
+    t = SnapshotTable(spark, str(root), n_buckets=4)
+    t.init_empty(target_schema())
+    schema = ("url string, lsn long, warc_ts timestamp, html binary, "
+              "lang string, op string")
+    e0 = spark.createDataFrame(
+        [("a", 10, None, b"<html><body>first epoch</body></html>", "en", "upsert")],
+        schema,
+    )
+    e1 = spark.createDataFrame(
+        [("a", 10, None, b"<html><body>second epoch</body></html>", "en", "upsert")],
+        schema,
+    )
+    t.merge_events(e0, batch_id=0, guard="batch_id", merge_mode="mor",
+                   transform=ReplayEngine._extract_transform)
+    t.merge_events(e1, batch_id=1, guard="batch_id", merge_mode="mor",
+                   transform=ReplayEngine._extract_transform)
+    rows = t.read().collect()
+    assert len(rows) == 1 and "second epoch" in rows[0].text
