@@ -69,12 +69,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # zstd over snappy: the merge path is memory-bandwidth-bound at
-        # high parallelism (every bucket rewrite re-encodes parquet), and
-        # the smaller zstd output trades a little 1-core CPU (-2%) for
-        # markedly less write bandwidth (+11% events/s at 4 pinned cores,
-        # N->4N efficiency 0.74 -> 0.85 on the 1M-event probe) — the same
-        # tradeoff holds on real clusters where executors share NIC/disk
+        # zstd over snappy: smaller write/shuffle bytes for a little extra
+        # CPU. On this sandbox the full 4M-event scaling protocol ties with
+        # snappy within host noise (0.805 vs 0.804; a 1M single-rep probe
+        # had shown +11% at 4 contended cores — see BENCH/BASELINE.md);
+        # kept because at cluster scale the bytes saved dominate where
+        # executors share NIC/disk bandwidth
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
