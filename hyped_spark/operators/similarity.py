@@ -367,6 +367,92 @@ def sq_topk(
     )
 
 
+def _make_cells_udf(C: np.ndarray, n: int):
+    """Arrow-vectorized n-nearest-centroid assignment (stable argmin —
+    ties break to the smaller cell index, same rule as the SQL oracle)."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(vec: pd.Series) -> pd.Series:  # pragma: no cover (executor)
+        M = np.stack(vec.to_numpy())
+        d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :n].astype(np.int32)
+        return pd.Series(list(order))
+
+    return cells
+
+
+def build_ivf_sq_index(
+    corpus: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_cap: int = 100_000,
+    n_iters: int = 5,
+) -> tuple[DataFrame, dict]:
+    """Build the persistable IVF-SQ index: ``(index_df, meta)``.
+
+    ``index_df`` is the artifact a 100 TB pipeline WRITES ONCE (e.g. as a
+    lake table partitioned/bucketed by ``__cell``) and queries many times:
+    (id, __cell int, __cq array<smallint>, __cn double) — ~2 bytes/dim
+    plus two scalars per vector, the full-precision embeddings are not in
+    it. ``meta`` is the tiny driver-side state to store alongside
+    (centroids + quantization params, plain JSON-serializable lists).
+    Searching a stored index costs NO training and NO corpus pass — see
+    :func:`ivf_sq_search`; the one-shot composition :func:`ivf_sq_topk`
+    is exactly build + search."""
+    C = ivf_train_centroids(
+        corpus, n_lists, id_col, vec_col, train_cap=train_cap, n_iters=n_iters
+    )
+    lo, hi = quantization_params(corpus, dim, vec_col)
+    index = spread(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    ).select(
+        F.col(id_col),
+        _make_cells_udf(C, 1)(F.col("__cv"))[0].alias("__cell"),
+        quantize_col(F.col("__cv"), lo, hi).alias("__cq"),
+    ).withColumn("__cn", norm_col(dequantize_col(F.col("__cq"), lo, hi)))
+    meta = {"centroids": C.tolist(), "lo": list(lo), "hi": list(hi)}
+    return index, meta
+
+
+def ivf_sq_search(
+    index: DataFrame,
+    meta: dict,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k search over a stored IVF-SQ index (from
+    :func:`build_ivf_sq_index`, possibly round-tripped through parquet +
+    JSON): queries explode to their ``n_probe`` nearest cells, candidates
+    come from the cell equi-join against the (codes-only) index, scoring
+    dequantizes post-join. The index side is never duplicated."""
+    from pyspark.sql import Window
+
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    lo, hi = list(meta["lo"]), list(meta["hi"])
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")).withColumn(
+        "__cell", F.explode(_make_cells_udf(C, n_probe)(F.col("__qv")))
+    ).withColumn("__qn", norm_col(F.col("__qv")))
+    scored = index.join(F.broadcast(q), "__cell").withColumn(
+        "cosine",
+        _scored_cosine(F.col("__qv"), dequantize_col(F.col("__cq"), lo, hi),
+                       F.col("__qn"), F.col("__cn")),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def ivf_sq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -393,44 +479,17 @@ def ivf_sq_topk(
     explode to ``n_probe`` cells; the corpus is never duplicated; scoring
     dequantizes inline post-join. Every step is bit-reproducible, so the
     DuckDB oracle replays the full fit + quantization + scoring in SQL.
+
+    This is the one-shot composition of :func:`build_ivf_sq_index` +
+    :func:`ivf_sq_search`; at scale, build once, persist, search many.
     """
-    from pyspark.sql import Window
-
-    C = ivf_train_centroids(
-        corpus, n_lists, id_col, vec_col, train_cap=train_cap, n_iters=n_iters
+    index, meta = build_ivf_sq_index(
+        corpus, dim, n_lists=n_lists, id_col=id_col, vec_col=vec_col,
+        train_cap=train_cap, n_iters=n_iters,
     )
-    lo, hi = quantization_params(corpus, dim, vec_col)
-
-    def make_cells_udf(n: int):
-        @F.pandas_udf(T.ArrayType(T.IntegerType()))
-        def cells(vec: pd.Series) -> pd.Series:  # pragma: no cover (executor)
-            M = np.stack(vec.to_numpy())
-            d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            order = np.argsort(d2, axis=1, kind="stable")[:, :n].astype(np.int32)
-            return pd.Series(list(order))
-
-        return cells
-
-    c = spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))).select(
-        F.col(id_col),
-        make_cells_udf(1)(F.col("__cv"))[0].alias("__cell"),
-        quantize_col(F.col("__cv"), lo, hi).alias("__cq"),
-    ).withColumn("__cn", norm_col(dequantize_col(F.col("__cq"), lo, hi)))
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")).withColumn(
-        "__cell", F.explode(make_cells_udf(n_probe)(F.col("__qv")))
-    ).withColumn("__qn", norm_col(F.col("__qv")))
-    scored = c.join(F.broadcast(q), "__cell").withColumn(
-        "cosine",
-        _scored_cosine(F.col("__qv"), dequantize_col(F.col("__cq"), lo, hi),
-                       F.col("__qn"), F.col("__cn")),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
+    return ivf_sq_search(
+        index, meta, queries, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
     )
 
 

@@ -639,3 +639,38 @@ def test_fold_hash_gram_kernels_match_string_mode(spark):
          != F.size(shingles_col(toks, 3, "md5"))).alias("bs"),
     ).filter("b2 or b3 or bs").count()
     assert bad == 0
+
+
+def test_ivf_sq_index_roundtrip_search(spark, tmp_path):
+    """Build-once / search-many: the IVF-SQ index written to parquet (+
+    JSON meta) and read back must return exactly what the one-shot
+    ivf_sq_topk composition returns — no training or corpus pass at
+    search time."""
+    import json
+
+    from hyped_spark.operators.similarity import (
+        build_ivf_sq_index,
+        ivf_sq_search,
+        ivf_sq_topk,
+    )
+
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index, meta = build_ivf_sq_index(emb, dim=dim, n_lists=8)
+    # the stored artifact: codes-only parquet + JSON sidecar
+    index.write.mode("overwrite").parquet(str(tmp_path / "ivfsq"))
+    (tmp_path / "meta.json").write_text(json.dumps(meta))
+    stored = spark.read.parquet(str(tmp_path / "ivfsq"))
+    meta2 = json.loads((tmp_path / "meta.json").read_text())
+
+    got = sorted(map(tuple, ivf_sq_search(
+        stored, meta2, queries, k=10, n_probe=2).collect()))
+    want = sorted(map(tuple, ivf_sq_topk(
+        emb, queries, dim=dim, k=10, n_lists=8, n_probe=2).collect()))
+    assert got == want
+    # the artifact is codes-only: no full-precision embedding column
+    assert set(stored.columns) == {"vec_id", "__cell", "__cq", "__cn"}
+    assert dict(stored.dtypes)["__cq"] == "array<smallint>"
