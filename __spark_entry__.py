@@ -623,6 +623,97 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+# shared boilerplate planted for the duplicate-substring queries: the
+# synthetic docs are near-unique word soup, so cross-doc verbatim runs are
+# planted deterministically (doc_id % 13 == 0 gets this 11-token suffix)
+_BOILER = ("subscribe to our newsletter for the latest updates and offers "
+           "today")
+
+
+def _span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" " + _BOILER)).alias("text")
+    )
+    return planted.unionByName(d.filter(F.col("doc_id") % 13 != 0))
+
+
+def dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-substring spans (Lee et al. 2022 exact-
+    substring dedup, n-gram anchored): maximal runs of >= 8 verbatim tokens
+    shared across documents. Runs the operator's xxhash64 scale path; the
+    oracle compares raw gram STRINGS (hash-mode independent), so the cheap
+    path is held to literal-substring semantics modulo a 2^-64 collision."""
+    from hyped_spark.operators.substrings import duplicate_ngram_spans
+
+    out = duplicate_ngram_spans(_span_corpus(spark, sf_dir), n=8)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
+def dup_token_frac_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of tokens covered by cross-doc duplicated
+    spans — the doc-level cut/keep signal derived from dup_span_docs; one
+    row per corpus document (0.0 when clean)."""
+    from hyped_spark.operators.substrings import duplicate_token_frac
+
+    out = duplicate_token_frac(_span_corpus(spark, sf_dir), n=8)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        "dup_token_frac",
+    )
+
+
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents. The synthetic corpus carries no PII,
+    so deterministic PII (an email, an IPv4, a phone number derived from
+    doc_id) is injected first, then scrubbed — both engines replay the
+    injection AND the scrub, so the oracle checks the actual regexes.
+    Map-only native regexp — zero shuffle at any scale."""
+    from hyped_spark.functions.text import pii_count_cols, pii_scrub_col
+
+    d = _load(spark, sf_dir, "documents")
+    injected = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com")),
+        F.concat(F.lit("from 10.0."),
+                 F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+                 F.lit(".7")),
+        F.concat(F.lit("tel 555-010-"),
+                 F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"),
+                        4, "0")),
+    )
+    d = d.select("doc_id", injected.alias("__t"))
+    counts = pii_count_cols(F.col("__t"))
+    return d.select(
+        "doc_id",
+        pii_scrub_col(F.col("__t")).alias("clean_text"),
+        *[c.cast("long").alias(f"n_{k}") for k, c in counts.items()],
+    )
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum hash sampling: keep all of src0, half of
+    src1, a quarter of src2, drop strata not listed. Pure per-row
+    predicate — no shuffle, no sampling state, stable under growth."""
+    from hyped_spark.operators.curation import stratified_sample
+
+    d = _load(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        key_col="doc_id",
+    )
+    return out.select("doc_id", "source")
+
+
 def seq_val_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SequenceValueHistogram analogue (A5): binned histogram over flattened
     array values (here: per-word lengths of part names)."""
@@ -756,6 +847,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": decontaminate_docs,
         "decontaminate_docs_fast": decontaminate_docs_fast,
         "incremental_dedup_docs": incremental_dedup_docs,
+        "dup_span_docs": dup_span_docs,
+        "dup_token_frac_docs": dup_token_frac_docs,
+        "pii_scrub_docs": pii_scrub_docs,
+        "stratified_sample_docs": stratified_sample_docs,
         "source_mixture_docs": source_mixture_docs,
         "quality_scores": quality_scores,
         "asof_join_events": asof_join_events,
@@ -944,6 +1039,10 @@ def oracle_sql() -> dict[str, str]:
             bench_mod=37, shingle_n=3
         ),
         "incremental_dedup_docs": _incremental_dedup_oracle(min_jaccard=0.5),
+        "dup_span_docs": _dup_span_oracle(n=8),
+        "dup_token_frac_docs": _dup_token_frac_oracle(n=8),
+        "pii_scrub_docs": _pii_oracle(),
+        "stratified_sample_docs": _stratified_oracle(),
         "source_mixture_docs": """
             WITH c AS (
                 SELECT source, pow(count(*), 0.5) AS w FROM documents
@@ -1179,6 +1278,114 @@ def _decontaminate_oracle(bench_mod: int, shingle_n: int = 3) -> str:
         FROM sh CROSS JOIN bl
         WHERE sh.doc_id % {bench_mod} <> 0
     """
+
+
+def _span_toks_cte(n: int) -> str:
+    """corpus (planted boilerplate) + tokens + positional n-gram strings.
+
+    Gram comparison is on raw STRINGS — no hashing — so one oracle covers
+    any Spark-side hash mode (equality of xxhash64 fold-hashes equals
+    equality of gram strings modulo a 2^-64 collision)."""
+    gram = ("{'pos': i - 1, 'g': array_to_string(list_slice(t, i, i + "
+            + str(n - 1) + "), ' ')}")
+    return f"""
+        corpus AS (
+            SELECT doc_id, text || ' {_BOILER}' AS text FROM documents
+            WHERE doc_id % 13 = 0
+            UNION ALL
+            SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+        ), toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                               x -> len(x) > 0) AS t
+            FROM corpus
+        ), grams AS (
+            SELECT doc_id,
+                   unnest([{gram} for i in range(1, len(t) - {n} + 2)],
+                          recursive := true)
+            FROM toks WHERE len(t) >= {n}
+        ), cross_doc AS (
+            SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)
+        ), dup AS (
+            SELECT doc_id, pos FROM grams JOIN cross_doc USING (g)
+        ), seg AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {n}
+                        THEN 1 ELSE 0 END AS f
+            FROM dup
+        ), segsum AS (
+            SELECT doc_id, pos,
+                   sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+            FROM seg
+        ), spans AS (
+            SELECT doc_id, min(pos) AS span_start, max(pos) + {n} AS span_end,
+                   max(pos) + {n} - min(pos) AS span_tokens
+            FROM segsum GROUP BY doc_id, s
+        )"""
+
+
+def _dup_span_oracle(n: int = 8) -> str:
+    """DuckDB twin of dup_span_docs: string-gram duplicated-window spans."""
+    return f"""
+        WITH {_span_toks_cte(n)}
+        SELECT doc_id, span_start, span_end, span_tokens FROM spans
+    """
+
+
+def _dup_token_frac_oracle(n: int = 8) -> str:
+    """DuckDB twin of dup_token_frac_docs: doc-level duplicated-token
+    fraction from the same span derivation."""
+    return f"""
+        WITH {_span_toks_cte(n)}, agg AS (
+            SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+            FROM spans GROUP BY doc_id
+        )
+        SELECT toks.doc_id,
+               len(t) AS n_tokens,
+               coalesce(agg.dup_tokens, 0) AS dup_tokens,
+               round(CAST(coalesce(agg.dup_tokens, 0) AS DOUBLE)
+                     / greatest(len(t), 1), 6) AS dup_token_frac
+        FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
+    """
+
+
+def _pii_oracle() -> str:
+    """DuckDB twin of pii_scrub_docs: replay the deterministic PII
+    injection, then the exact same regex scrub (RE2 == Java on the
+    restricted pattern syntax — tests/test_pii.py proves it per fixture)."""
+    from hyped_spark.functions.text import (
+        PII_PATTERNS,
+        pii_count_sql,
+        pii_scrub_sql,
+    )
+
+    counts = ", ".join(
+        f"CAST({pii_count_sql('t2', name)} AS BIGINT) AS n_{name}"
+        for name, _, _ in PII_PATTERNS
+    )
+    return f"""
+        WITH inj AS (
+            SELECT doc_id,
+                   concat_ws(' ', text,
+                             'contact user' || CAST(doc_id AS VARCHAR) || '@example.com',
+                             'from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7',
+                             'tel 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS t2
+            FROM documents
+        )
+        SELECT doc_id, {pii_scrub_sql('t2')} AS clean_text, {counts}
+        FROM inj
+    """
+
+
+def _stratified_oracle() -> str:
+    """DuckDB twin of stratified_sample_docs (md5 hash-threshold)."""
+    from hyped_spark.operators.curation import stratified_sample_sql
+
+    pred = stratified_sample_sql(
+        "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25}, "doc_id"
+    )
+    return f"SELECT doc_id, source FROM documents WHERE {pred}"
 
 
 def _hash_split_oracle() -> str:

@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     # not the engine (47% of the r3 total was md5 in decontaminate_docs)
     "repetition_docs_fast",
     "decontaminate_docs_fast",
+    # round 4 additions: substring-span dedup runs the xxhash64 fold-hash
+    # scale path (its oracle compares gram strings, hash-independent);
+    # pii scrub and stratified sample are map-only native regexp/hash
+    "dup_span_docs",
+    "pii_scrub_docs",
+    "stratified_sample_docs",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

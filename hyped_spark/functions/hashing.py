@@ -109,6 +109,46 @@ def shingles_col(tokens: Column, n: int = 3, hash_mode: str = "xxhash64") -> Col
     return F.array_distinct(grams)
 
 
+def positional_gram_hashes_col(
+    tokens: Column, n: int, hash_mode: str = "xxhash64"
+) -> Column:
+    """Per-position n-gram hashes: ``array<long>`` where element ``i`` is
+    the hash of the window ``tokens[i : i+n]`` (0-based). Unlike
+    :func:`shingles_col` this keeps positions (no ``array_distinct``) and
+    has NO short-document fallback — a document with fewer than ``n``
+    tokens yields an empty array. Input to duplicate-substring-span
+    detection (:mod:`hyped_spark.operators.substrings`).
+
+    ``xxhash64`` mode reuses the fold-hash kernel (hash each token once,
+    ``zip_with`` pairwise folds over shifted slices — no gram string is
+    materialized); ``md5`` mode hashes literal gram strings so DuckDB can
+    replay values bit-for-bit.
+    """
+    n_tokens = F.size(tokens)
+    if hash_mode == "xxhash64":
+        th = F.transform(tokens, lambda t: F.xxhash64(t))
+        g = th
+        for j in range(1, n):
+            g = F.zip_with(
+                g,
+                F.slice(th, j + 1, F.greatest(n_tokens - j, F.lit(0))),
+                lambda a, b: F.xxhash64(a, b),
+            )
+        # zip_with pads to the longer side; only the first size-(n-1)
+        # entries are complete n-grams (empty when size < n)
+        return F.slice(g, 1, F.greatest(n_tokens - (n - 1), F.lit(0)))
+    if hash_mode != "md5":
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+    starts = F.sequence(F.lit(0), F.greatest(n_tokens - n, F.lit(0)), F.lit(1))
+    return F.when(
+        n_tokens >= n,
+        F.transform(
+            starts,
+            lambda i: h64_col(F.concat_ws(" ", F.slice(tokens, i + 1, n)), "md5"),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+
+
 def minhash_signature_col(shingles: Column, k: int = 64, seed: int = 42) -> Column:
     """MinHash signature: array<long> of length k, fully native.
 

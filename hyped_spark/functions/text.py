@@ -219,6 +219,62 @@ def dup_line_frac_col(text: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+# ---------------------------------------------------------------------------
+# PII redaction (native regexp — CCNet/Dolma-style pre-training scrub)
+# ---------------------------------------------------------------------------
+
+# Ordered (name, pattern, replacement). Order matters: emails are scrubbed
+# first so digit/dot runs inside a local-part can't be half-eaten by the IP
+# rule. Patterns are deliberately restricted to syntax that means the same
+# thing in Java regex (Spark) and RE2 (DuckDB) — no backrefs, no lookaround,
+# no possessive quantifiers — so the SQL oracle replays the scrub
+# byte-for-byte.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_count_cols(text: Column) -> dict[str, Column]:
+    """Per-category PII hit counts (native ``regexp_count``), measured on
+    the RAW text (before any scrubbing)."""
+    return {
+        name: F.regexp_count(text, F.lit(pat)) for name, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_scrub_col(text: Column) -> Column:
+    """Redact emails / IPv4s / phone numbers with typed placeholder tokens.
+
+    A fold of native ``regexp_replace`` calls in ``PII_PATTERNS`` order —
+    map-only, whole-stage-codegen'd, zero shuffle; the standard pre-training
+    scrub applied by CCNet/Dolma-class web-text pipelines. (Reference
+    parity: a row-level text transform in the processor taxonomy —
+    /root/reference/src/hyped/data/processors/base.py map pattern — the
+    reference ships no PII processor; this is a training-pipeline
+    extension, SURVEY.md §2.)
+    """
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_scrub_sql(expr: str) -> str:
+    """DuckDB expression replaying :func:`pii_scrub_col` (RE2, 'g' flag)."""
+    out = expr
+    for _, pat, repl in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+def pii_count_sql(expr: str, name: str) -> str:
+    """DuckDB expression for one category's raw-text hit count."""
+    pat = next(p for n, p, _ in PII_PATTERNS if n == name)
+    return f"len(regexp_extract_all({expr}, '{pat}'))"
+
+
 def fingerprint_col(text: Column) -> Column:
     """64-bit content fingerprint of whitespace-normalized lowercase text.
 

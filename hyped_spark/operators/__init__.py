@@ -44,4 +44,9 @@ from hyped_spark.operators.curation import (  # noqa: F401
     pack_offsets,
     source_mixture_weights,
     split_by_hash,
+    stratified_sample,
+)
+from hyped_spark.operators.substrings import (  # noqa: F401
+    duplicate_ngram_spans,
+    duplicate_token_frac,
 )

@@ -73,6 +73,81 @@ def split_by_hash_sql(key_expr: str, fractions: dict[str, float]) -> str:
     return "CASE " + " ".join(arms) + " END"
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    seed: int = 42,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Deterministic per-stratum sampling by hash threshold.
+
+    A row is kept iff ``h64(seed|stratum|key) % 10000 < frac(stratum)·10000``
+    — a pure per-row projection: no sampling state, no shuffle, stable
+    across runs, engines, and cluster sizes, and (unlike
+    ``DataFrame.sampleBy``) re-running on a grown table keeps exactly the
+    previously-sampled rows plus a consistent sample of the new ones —
+    the property an incremental corpus pipeline needs. Strata missing from
+    ``fractions`` fall back to ``default_fraction`` (0 = drop).
+
+    The hash is salted with ``seed`` and the stratum value, so the kept
+    set is decorrelated from :func:`split_by_hash` buckets over the same
+    key (reference parity: the sampling/filters stage of the curation
+    pipeline; this engine makes it reproducible instead of RNG-based).
+    """
+    for label, frac in fractions.items():
+        if not (0.0 <= frac <= 1.0):
+            raise ValueError(f"fraction for {label!r} not in [0,1]: {frac}")
+    if not (0.0 <= default_fraction <= 1.0):
+        raise ValueError(f"default_fraction not in [0,1]: {default_fraction}")
+    bucket = F.pmod(
+        h64_col(
+            F.concat_ws(
+                "|",
+                F.lit(str(seed)),
+                F.col(strata_col).cast("string"),
+                F.col(key_col).cast("string"),
+            ),
+            hash_mode,
+        ),
+        F.lit(_SPLIT_MOD),
+    )
+    thresh = None
+    for label, frac in fractions.items():
+        cut = F.lit(int(round(frac * _SPLIT_MOD)))
+        cond = F.col(strata_col).cast("string") == str(label)
+        thresh = F.when(cond, cut) if thresh is None else thresh.when(cond, cut)
+    thresh = thresh.otherwise(
+        F.lit(int(round(default_fraction * _SPLIT_MOD)))
+    ) if thresh is not None else F.lit(int(round(default_fraction * _SPLIT_MOD)))
+    return df.filter(bucket < thresh)
+
+
+def stratified_sample_sql(
+    strata_expr: str,
+    fractions: dict[str, float],
+    key_expr: str,
+    default_fraction: float = 0.0,
+    seed: int = 42,
+) -> str:
+    """DuckDB WHERE predicate mirroring :func:`stratified_sample` (md5)."""
+    from hyped_spark.functions.hashing import h64_sql
+
+    h = h64_sql(
+        f"concat_ws('|', '{seed}', CAST({strata_expr} AS VARCHAR), "
+        f"CAST({key_expr} AS VARCHAR))"
+    )
+    arms = " ".join(
+        f"WHEN CAST({strata_expr} AS VARCHAR) = '{label}' "
+        f"THEN {int(round(frac * _SPLIT_MOD))}"
+        for label, frac in fractions.items()
+    )
+    default = int(round(default_fraction * _SPLIT_MOD))
+    return f"(({h}) % {_SPLIT_MOD}) < (CASE {arms} ELSE {default} END)"
+
+
 def source_mixture_weights(
     df: DataFrame,
     source_col: str = "source",

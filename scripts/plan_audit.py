@@ -179,6 +179,37 @@ def main() -> None:
          and "BatchEvalPython" not in p),
     ]))
 
+    # 14. duplicate-substring spans: candidate generation is a hash equi-join
+    # on the 8-byte gram hash only (ids+positions, never text); the span
+    # merge is a per-document window (bounded partitions)
+    p = plan_of(q["dup_span_docs"](spark, SF))
+    sections.append(("dup_span_docs (gram-hash equi-join + span-merge window)", p, [
+        ("no cartesian product", "CartesianProduct" not in p),
+        ("cross-doc test is a hash aggregate (min/max id, map-side combinable)",
+         "HashAggregate" in p),
+        ("native codegen (no Python eval)", "ArrowEvalPython" not in p
+         and "BatchEvalPython" not in p),
+    ]))
+
+    # 15. PII scrub: map-only native regexp — no exchange beyond the spread
+    # guard, no join, no Python
+    p = plan_of(q["pii_scrub_docs"](spark, SF))
+    sections.append(("pii_scrub_docs (map-only native regexp)", p, [
+        ("no exchange at all (pure projection)",
+         len(re.findall(r"\(\d+\) Exchange", p)) == 0),
+        ("no join", "Join" not in p),
+        ("native codegen (no Python eval)", "ArrowEvalPython" not in p
+         and "BatchEvalPython" not in p),
+    ]))
+
+    # 16. stratified sample: a pure filter — predicate over md5(concat),
+    # no exchange, no join
+    p = plan_of(q["stratified_sample_docs"](spark, SF))
+    sections.append(("stratified_sample_docs (hash-threshold filter)", p, [
+        ("no exchange", len(re.findall(r"\(\d+\) Exchange", p)) == 0),
+        ("no join", "Join" not in p),
+    ]))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)\n"]
     all_ok = True
     for title, plan, checks in sections:

@@ -158,3 +158,40 @@ def test_curation_job_end_to_end(spark, tmp_path, monkeypatch):
     job.main()
     assert spark.read.parquet(f"{out}/curated").count() == 0
     assert spark.read.parquet(f"{out}/dedup_index").count() == idx_n
+
+
+def test_stratified_sample(spark):
+    from hyped_spark.operators.curation import stratified_sample
+
+    docs = _docs(spark)
+    n_by_src = {r.source: r.n for r in
+                docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    fr = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    out = stratified_sample(docs, "source", fr, key_col="doc_id")
+    got = {r.source: r.n for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # frac=1 keeps everything, frac=0 (and default for unlisted strata)
+    # drops everything, frac=0.5 lands near half (hash-uniform)
+    assert got.get("src0") == n_by_src["src0"]
+    assert "src2" not in got
+    for src in n_by_src:
+        if src not in fr:
+            assert src not in got
+    assert abs(got.get("src1", 0) / n_by_src["src1"] - 0.5) < 0.2
+
+    # deterministic + superset-stable: sampling a filtered subset yields
+    # exactly the intersection (per-row predicate, no sampling state)
+    sub = docs.filter(F.col("doc_id") % 2 == 0)
+    a = {r.doc_id for r in stratified_sample(
+        sub, "source", fr, key_col="doc_id").select("doc_id").collect()}
+    b = {r.doc_id for r in out.filter(F.col("doc_id") % 2 == 0)
+         .select("doc_id").collect()}
+    assert a == b
+
+    # default_fraction keeps unlisted strata when asked
+    kept_all = stratified_sample(
+        docs, "source", {}, key_col="doc_id", default_fraction=1.0).count()
+    assert kept_all == docs.count()
+
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "source", {"src0": 1.5}, key_col="doc_id")
