@@ -670,6 +670,15 @@ def dup_token_frac_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cut_dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal: cut every cross-doc duplicated >=8-token run
+    from the normalized token stream (the remediation half of
+    dup_span_docs); one row per corpus doc, clean docs pass through."""
+    from hyped_spark.operators.substrings import cut_duplicate_spans
+
+    return cut_duplicate_spans(_span_corpus(spark, sf_dir), n=8)
+
+
 def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over documents. The synthetic corpus carries no PII,
     so deterministic PII (an email, an IPv4, a phone number derived from
@@ -849,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_docs": incremental_dedup_docs,
         "dup_span_docs": dup_span_docs,
         "dup_token_frac_docs": dup_token_frac_docs,
+        "cut_dup_spans_docs": cut_dup_spans_docs,
         "pii_scrub_docs": pii_scrub_docs,
         "stratified_sample_docs": stratified_sample_docs,
         "source_mixture_docs": source_mixture_docs,
@@ -1041,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup_docs": _incremental_dedup_oracle(min_jaccard=0.5),
         "dup_span_docs": _dup_span_oracle(n=8),
         "dup_token_frac_docs": _dup_token_frac_oracle(n=8),
+        "cut_dup_spans_docs": _cut_dup_spans_oracle(n=8),
         "pii_scrub_docs": _pii_oracle(),
         "stratified_sample_docs": _stratified_oracle(),
         "source_mixture_docs": """
@@ -1346,6 +1357,28 @@ def _dup_token_frac_oracle(n: int = 8) -> str:
                coalesce(agg.dup_tokens, 0) AS dup_tokens,
                round(CAST(coalesce(agg.dup_tokens, 0) AS DOUBLE)
                      / greatest(len(t), 1), 6) AS dup_token_frac
+        FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
+    """
+
+
+def _cut_dup_spans_oracle(n: int = 8) -> str:
+    """DuckDB twin of cut_dup_spans_docs: same span derivation, then drop
+    covered token indices and re-join (empty survivor list -> '' like
+    Spark's array_join, via coalesce: DuckDB array_to_string([]) is NULL)."""
+    return f"""
+        WITH {_span_toks_cte(n)}, agg AS (
+            SELECT doc_id,
+                   list({{'s': span_start, 'e': span_end}}) AS sp
+            FROM spans GROUP BY doc_id
+        )
+        SELECT toks.doc_id,
+               coalesce(CASE WHEN agg.doc_id IS NULL THEN array_to_string(t, ' ')
+                 ELSE array_to_string(
+                   list_filter(list_transform(range(1, len(t) + 1),
+                     i -> CASE WHEN len(list_filter(sp,
+                            x -> i - 1 >= x.s AND i - 1 < x.e)) = 0
+                          THEN t[i] END),
+                     v -> v IS NOT NULL), ' ') END, '') AS clean_text
         FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
     """
 

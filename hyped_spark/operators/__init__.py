@@ -47,6 +47,7 @@ from hyped_spark.operators.curation import (  # noqa: F401
     stratified_sample,
 )
 from hyped_spark.operators.substrings import (  # noqa: F401
+    cut_duplicate_spans,
     duplicate_ngram_spans,
     duplicate_token_frac,
 )

@@ -117,6 +117,57 @@ def duplicate_ngram_spans(
     return spans
 
 
+def cut_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    hash_mode: str = "xxhash64",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Remove cross-document duplicated runs from every document.
+
+    The remediation half of substring dedup: tokens covered by any span
+    from :func:`duplicate_ngram_spans` are dropped and the survivors are
+    re-joined with single spaces. The cut operates on the NORMALIZED token
+    stream (``tokens_col``: lowercased, punctuation-split) — i.e. on the
+    exact token stream a tokenizer-bound training pipeline consumes — not
+    on the raw string, whose casing/punctuation cannot be reassembled
+    around a cut anyway. Every input row survives (clean docs pass through
+    with normalized text); output is ``(id_col, out_col)``.
+
+    This cuts EVERY occurrence of a duplicated run (boilerplate removal —
+    the common web-text case); to instead keep one canonical occurrence,
+    filter the span frame by a keep rule before cutting. Plan shape: the
+    span frame collapses to one ``collect_list`` row per affected doc and
+    joins back on id; token filtering is a native higher-order function —
+    no Python, no extra payload shuffle.
+    """
+    spans = duplicate_ngram_spans(df, id_col, text_col, n, hash_mode)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    return (
+        toks.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__spans").isNull(), F.array_join("__toks", " "))
+             .otherwise(F.array_join(kept, " "))
+             .alias(out_col),
+        )
+    )
+
+
 def duplicate_token_frac(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -248,6 +248,46 @@ def _repetition_metrics(p: dict) -> Stage:
     return run
 
 
+@register("stratified_sample")
+def _stratified_sample(p: dict) -> Stage:
+    from hyped_spark.operators.curation import stratified_sample
+    return lambda df: stratified_sample(
+        df, p["strata_col"], p["fractions"], key_col=p["key"],
+        default_fraction=p.get("default_fraction", 0.0),
+        seed=p.get("seed", 42), hash_mode=p.get("hash_mode", "md5"),
+    )
+
+
+@register("pii_scrub")
+def _pii_scrub(p: dict) -> Stage:
+    from hyped_spark.functions.text import pii_count_cols, pii_scrub_col
+
+    def run(df: DataFrame) -> DataFrame:
+        text = F.col(p.get("text_col", "text"))
+        if p.get("counts", False):
+            for name, c in pii_count_cols(text).items():
+                df = df.withColumn(f"n_{name}", c)
+        return df.withColumn(p.get("text_col", "text"), pii_scrub_col(text))
+    return run
+
+
+@register("cut_dup_spans")
+def _cut_dup_spans(p: dict) -> Stage:
+    from hyped_spark.operators.substrings import cut_duplicate_spans
+
+    def run(df: DataFrame) -> DataFrame:
+        out = cut_duplicate_spans(
+            df, p.get("id_col", "doc_id"), p.get("text_col", "text"),
+            n=p.get("n", 8), out_col="__clean",
+        )
+        return (
+            df.drop(p.get("text_col", "text"))
+            .join(out, p.get("id_col", "doc_id"))
+            .withColumnRenamed("__clean", p.get("text_col", "text"))
+        )
+    return run
+
+
 @register("repartition")
 def _repartition(p: dict) -> Stage:
     cols = [F.col(c) for c in p.get("columns", [])]

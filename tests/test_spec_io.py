@@ -359,3 +359,49 @@ def test_curation_pipeline_as_declarative_spec(spark, tmp_path):
     total = (spark.read.parquet(corpus_path)
              .agg(F.sum(F.size(F.split("text", " ")))).collect()[0][0])
     assert sum(r.slice_end - r.slice_begin for r in rows) == total
+
+
+def test_new_curation_stages_as_declarative_spec(spark):
+    """Round-4 stages (pii_scrub, stratified_sample, cut_dup_spans) compose
+    declaratively and survive the JSON round-trip."""
+    from pyspark.sql import functions as F
+
+    from hyped_spark.plans.spec import PipelineSpec
+
+    spec = PipelineSpec(
+        source=None,
+        stages=[
+            {"op": "pii_scrub", "counts": True},
+            {"op": "stratified_sample", "strata_col": "source",
+             "fractions": {"src0": 1.0, "src1": 0.5}, "key": "doc_id"},
+            {"op": "cut_dup_spans", "n": 8},
+        ],
+        name="r4_stages",
+    )
+    spec = PipelineSpec.from_json(spec.to_json())
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    boiler = (" subscribe to our newsletter for the latest updates and"
+              " offers today")
+    df = (docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.concat("text", F.lit(boiler))).otherwise(F.col("text")))
+          .withColumn(
+            "text",
+            F.concat("text", F.lit(" mail me at x"), F.col("doc_id"),
+                     F.lit("@y.org"))))
+    out = spec.transform(df)
+    rows = out.collect()
+    assert rows
+    # only listed strata survive, emails scrubbed + counted, boiler cut
+    assert {r.source for r in rows} <= {"src0", "src1"}
+    assert all(r.n_email == 1 for r in rows)
+    # the cut stage re-normalizes tokens (lowercase, punctuation-split), so
+    # the <EMAIL> placeholder survives as the bare token "email" — except in
+    # boilerplated docs, where "...today mail me at email" is itself part of
+    # the shared (cut) suffix
+    assert all("@" not in r.text for r in rows)
+    assert all("email" in r.text.split()
+               for r in rows if r.doc_id % 13 != 0)
+    assert all("newsletter" not in r.text for r in rows)

@@ -102,3 +102,25 @@ def test_no_cartesian_in_plan(spark):
     plan = duplicate_ngram_spans(_frame(spark), n=8)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_cut_duplicate_spans(spark):
+    from hyped_spark.operators.substrings import cut_duplicate_spans
+
+    out = {
+        r.doc_id: r.clean_text
+        for r in cut_duplicate_spans(_frame(spark), n=8).collect()
+    }
+    # every row survives
+    assert set(out) == {1, 2, 3, 4, 5}
+    # doc 2: BOILER removed, surrounding tokens re-joined
+    assert out[2] == "totally different opening words and a different tail"
+    # doc 5: trailing shared run removed
+    assert out[5] == "another document that repeats at its end"
+    # clean docs pass through with normalized (lowercased, tokenized) text
+    assert out[4] == "too short"
+    assert "filler" in out[3]
+    # doc 1 loses BOTH runs but keeps everything between them
+    assert "subscribe" not in out[1] and "newsletter" not in out[1]
+    assert out[1].startswith("alpha beta gamma")
+    assert out[1].endswith("closing words here")
