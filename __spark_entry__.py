@@ -812,6 +812,31 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (percentile_cont semantics) — the order-
+    statistics report of the stats family; one sort-based aggregate per
+    group computes all requested percentiles at once."""
+    from hyped_spark.operators.stats import percentiles
+
+    li = _load(spark, sf_dir, "lineitem")
+    return percentiles(li, "l_extendedprice", [0.25, 0.5, 0.75, 0.95],
+                       by="l_returnflag")
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-20 tokens by frequency (tie-broken by
+    token). Map-side-combinable count + TakeOrdered — no full sort."""
+    from hyped_spark.functions.hashing import tokens_col
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -861,6 +886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cut_dup_spans_docs": cut_dup_spans_docs,
         "pii_scrub_docs": pii_scrub_docs,
         "stratified_sample_docs": stratified_sample_docs,
+        "price_percentiles": price_percentiles,
+        "vocab_top_tokens": vocab_top_tokens,
         "source_mixture_docs": source_mixture_docs,
         "quality_scores": quality_scores,
         "asof_join_events": asof_join_events,
@@ -1054,6 +1081,21 @@ def oracle_sql() -> dict[str, str]:
         "cut_dup_spans_docs": _cut_dup_spans_oracle(n=8),
         "pii_scrub_docs": _pii_oracle(),
         "stratified_sample_docs": _stratified_oracle(),
+        "price_percentiles": """
+            SELECT l_returnflag,
+                   unnest(CAST([0.25, 0.5, 0.75, 0.95] AS DOUBLE[])) AS p,
+                   unnest(list_transform(
+                       quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]),
+                       v -> round(v, 4))) AS value
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "vocab_top_tokens": f"""
+            WITH {_TOKS_CTE}, flat AS (
+                SELECT unnest(t) AS tok FROM toks
+            )
+            SELECT tok, count(*) AS n FROM flat
+            GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+        """,
         "source_mixture_docs": """
             WITH c AS (
                 SELECT source, pow(count(*), 0.5) AS w FROM documents

@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "dup_span_docs",
     "pii_scrub_docs",
     "stratified_sample_docs",
+    "price_percentiles",
+    "vocab_top_tokens",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

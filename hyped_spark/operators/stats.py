@@ -70,3 +70,31 @@ def disc_seq_val_histogram(df: DataFrame, col: str) -> DataFrame:
         .groupBy("value")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def percentiles(df: DataFrame, col: str, ps: list[float],
+                by: str | None = None, round_dp: int = 4) -> DataFrame:
+    """Exact percentiles with linear interpolation (SQL ``percentile_cont``
+    semantics): one output row per (group,) percentile. Extends the
+    reference's statistics family (mean/std, histograms — statistics/
+    value/mean_std.py) with the order-statistics report every corpus
+    analysis needs (length/quality cutoffs).
+
+    ``F.percentile`` is the exact aggregate (sort-based within each
+    group), computed ONCE for all requested percentiles, then exploded to
+    rows. Deterministic — order statistics don't inherit float sum-order
+    noise, so the DuckDB ``quantile_cont`` twin matches to rounding.
+    """
+    arr = F.array(*[F.lit(float(p)) for p in ps])
+    keys = [by] if by else []
+    agg = df.groupBy(*keys).agg(F.percentile(F.col(col), arr).alias("__v"))
+    out = agg.select(
+        *keys,
+        F.posexplode("__v").alias("__i", "value"),
+    )
+    p_map = F.array(*[F.lit(float(p)) for p in ps])
+    return out.select(
+        *keys,
+        F.element_at(p_map, F.col("__i") + 1).alias("p"),
+        F.round(F.col("value"), round_dp).alias("value"),
+    )

@@ -9,11 +9,16 @@ Stages (each one a library operator — this script only chains them):
 1. exact dedup                 (fingerprint hash-agg, min-id representative)
 2. MinHash near-dedup          (LSH bands, connected-components keep rule)
 3. benchmark decontamination   (shingle overlap vs a held-out eval slice)
-4. quality gate                (quality score + Gopher repetition fractions)
-5. language filter             (native n-gram language id)
-6. source mixture weights      (count^alpha tempered mixing)
-7. train/val/test split        (portable hash buckets)
-8. sequence-packing manifest   (concat-then-chunk offsets for the train split)
+4. PII scrub                   (native regexp email/IPv4/phone redaction)
+5. boilerplate cut [opt]       (--cut-dup-ngram N: remove cross-doc
+                                duplicated runs of >= N tokens)
+6. quality gate                (quality score + Gopher repetition fractions)
+7. language filter             (native n-gram language id)
+8. stratified sample [opt]     (--sample '{"src":frac,...}': per-source
+                                hash-threshold downsampling)
+9. source mixture weights      (count^alpha tempered mixing)
+10. train/val/test split       (portable hash buckets)
+11. sequence-packing manifest  (concat-then-chunk offsets, train split)
 
 Outputs under --out: ``curated/`` (parquet corpus with weights + split),
 ``packing/`` (chunk manifest), ``dedup_index/`` (the MinHash representative
@@ -49,6 +54,16 @@ def main() -> None:
     ap.add_argument("--langs", default="en,de,fr,es,it")
     ap.add_argument("--chunk-tokens", type=int, default=512)
     ap.add_argument("--min-jaccard", type=float, default=0.8)
+    ap.add_argument("--cut-dup-ngram", type=int, default=0,
+                    help="if > 0, cut cross-document duplicated runs of "
+                         ">= N tokens after decontamination (boilerplate "
+                         "removal; rewrites text as the normalized token "
+                         "stream)")
+    ap.add_argument("--sample", default=None,
+                    help="JSON dict of per-source keep fractions for "
+                         'deterministic stratified sampling, e.g. '
+                         '\'{"src0": 1.0, "src1": 0.5}\'; unlisted sources '
+                         "are kept")
     ap.add_argument("--incremental", action="store_true",
                     help="near-dedup the input as a DELTA against the "
                          "persisted dedup_index instead of a full pass")
@@ -117,6 +132,18 @@ def main() -> None:
     d = decontaminate(d.filter(F.col("doc_id") % 97 != 0), bench)
     counts["after_decontaminate"] = d.count()
 
+    from hyped_spark.functions.text import pii_scrub_col
+
+    d = d.withColumn("text", pii_scrub_col(F.col("text")))
+
+    if args.cut_dup_ngram > 0:
+        from hyped_spark.operators.substrings import cut_duplicate_spans
+
+        clean = cut_duplicate_spans(d, n=args.cut_dup_ngram)
+        d = (d.drop("text").join(clean, "doc_id")
+             .withColumnRenamed("clean_text", "text"))
+        counts["after_boilerplate_cut"] = d.count()
+
     d = (
         d.withColumn("quality", quality_score_col(F.col("text")))
         .withColumn("dup_3gram_frac",
@@ -130,6 +157,13 @@ def main() -> None:
     d = d.withColumn("lang_guess", lang_id_col(F.col("text"))) \
          .filter(F.col("lang_guess").isin(langs))
     counts["after_lang_filter"] = d.count()
+
+    if args.sample:
+        from hyped_spark.operators.curation import stratified_sample
+
+        d = stratified_sample(d, "source", json.loads(args.sample),
+                              key_col="doc_id", default_fraction=1.0)
+        counts["after_stratified_sample"] = d.count()
 
     d = source_mixture_weights(d, "source", alpha=0.5)
     d = split_by_hash(d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})

@@ -195,3 +195,44 @@ def test_stratified_sample(spark):
 
     with pytest.raises(ValueError):
         stratified_sample(docs, "source", {"src0": 1.5}, key_col="doc_id")
+
+
+def test_curation_job_optional_stages(spark, tmp_path, monkeypatch):
+    """--cut-dup-ngram and --sample flags: boilerplate cut rewrites text as
+    the normalized token stream; stratified sampling thins one source."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "run_curation_job2", "/root/repo/scripts/run_curation_job.py")
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    out = str(tmp_path / "o2")
+    monkeypatch.setattr(sys, "argv", [
+        "job", "--out", out, "--cores", "8",
+        "--cut-dup-ngram", "8",
+        "--sample", '{"src1": 0.4}',
+    ])
+    job.main()
+
+    curated = spark.read.parquet(f"{out}/curated")
+    n = curated.count()
+    assert 0 < n <= 500
+    # sampled source thinned, others untouched relative to a full-keep run
+    docs = _docs(spark)
+    n_src1 = docs.filter("source = 'src1'").count()
+    kept_src1 = curated.filter("source = 'src1'").count()
+    assert kept_src1 < n_src1
+    # cut stage rewrote text as the normalized token stream: lowercase,
+    # single-space joined (true for EVERY row, cut or clean)
+    for r in curated.select("text").limit(20).collect():
+        assert r.text == " ".join(r.text.lower().split())
+    # packing still tiles the (rewritten) train split exactly
+    manifest = spark.read.parquet(f"{out}/packing")
+    train_tokens = (curated.filter("split = 'train'")
+                    .select(F.size(F.split("text", " ")).alias("n"))
+                    .agg(F.sum("n")).collect()[0][0])
+    packed = manifest.agg(
+        F.sum(F.col("slice_end") - F.col("slice_begin"))).collect()[0][0]
+    assert packed == train_tokens
