@@ -812,6 +812,52 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (native session_window): per-user sessions
+    closing after 30 idle minutes, with event count and summed value.
+    Timestamps surface as epoch seconds (engine-portable compare)."""
+    from hyped_spark.operators.joins import sessionize
+
+    e = _load(spark, sf_dir, "events")
+    out = sessionize(
+        e, "ts", "user_id", "30 minutes",
+        agg_cols=[F.round(F.sum("value"), 4).alias("total_value")],
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("session_start_s"),
+        F.unix_timestamp("session_end").alias("session_end_s"),
+        "n_events",
+        "total_value",
+    )
+
+
+def c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2) over the
+    documents table. The synthetic corpus is single-line, so lines are
+    synthesized deterministically first (split on ' value ', plus a
+    javascript boilerplate line on every third doc and a too-short tail
+    line); the gate must drop the boilerplate/short lines and keep the
+    sentence-like ones. Content compared exactly via md5 of the cleaned
+    text — map-only, zero shuffle."""
+    from hyped_spark.functions.text import c4_line_filter_col
+
+    d = _load(spark, sf_dir, "documents")
+    lined = F.concat(
+        F.regexp_replace(F.col("text"), " value ", ".\n"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("\nplease enable javascript now."))
+         .otherwise(F.lit("")),
+        F.lit("\ntoo short."),
+    )
+    cleaned = c4_line_filter_col(lined)
+    return d.select(
+        "doc_id",
+        F.length(cleaned).cast("long").alias("clean_len"),
+        F.md5(cleaned).alias("clean_md5"),
+    )
+
+
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentiles (percentile_cont semantics) — the order-
     statistics report of the stats family; one sort-based aggregate per
@@ -888,6 +934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": stratified_sample_docs,
         "price_percentiles": price_percentiles,
         "vocab_top_tokens": vocab_top_tokens,
+        "sessionize_events": sessionize_events,
+        "c4_clean_docs": c4_clean_docs,
         "source_mixture_docs": source_mixture_docs,
         "quality_scores": quality_scores,
         "asof_join_events": asof_join_events,
@@ -1081,6 +1129,30 @@ def oracle_sql() -> dict[str, str]:
         "cut_dup_spans_docs": _cut_dup_spans_oracle(n=8),
         "pii_scrub_docs": _pii_oracle(),
         "stratified_sample_docs": _stratified_oracle(),
+        "sessionize_events": """
+            -- gap test on EXACT timestamps (micros), like session_window;
+            -- epochs floored on output, like Spark's unix_timestamp
+            WITH seg AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS f
+                FROM events
+            ), g AS (
+                SELECT user_id, ts, value,
+                       sum(f) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                FROM seg
+            )
+            SELECT user_id,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+                   CAST(floor(epoch(max(ts) + INTERVAL '30 minutes')) AS BIGINT)
+                       AS session_end_s,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM g GROUP BY user_id, grp
+        """,
+        "c4_clean_docs": _c4_clean_oracle(),
         "price_percentiles": """
             SELECT l_returnflag,
                    unnest(CAST([0.25, 0.5, 0.75, 0.95] AS DOUBLE[])) AS p,
@@ -1911,6 +1983,24 @@ def _ann_lsh_oracle(dim: int = 64, n_bits: int = 6, k: int = 5) -> str:
                                          ORDER BY cosine DESC, vec_id ASC) AS rank
             FROM scored
         ) WHERE rank <= {k}
+    """
+
+
+def _c4_clean_oracle() -> str:
+    from hyped_spark.functions.text import c4_line_filter_sql
+
+    lined = (
+        "regexp_replace(text, ' value ', '.' || chr(10), 'g') "
+        "|| CASE WHEN doc_id % 3 = 0 "
+        "THEN chr(10) || 'please enable javascript now.' ELSE '' END "
+        "|| chr(10) || 'too short.'"
+    )
+    return f"""
+        WITH lined AS (SELECT doc_id, {lined} AS t FROM documents),
+        cleaned AS (SELECT doc_id, {c4_line_filter_sql('t')} AS c FROM lined)
+        SELECT doc_id, CAST(length(c) AS BIGINT) AS clean_len,
+               md5(c) AS clean_md5
+        FROM cleaned
     """
 
 

@@ -275,6 +275,42 @@ def pii_count_sql(expr: str, name: str) -> str:
     return f"len(regexp_extract_all({expr}, '{pat}'))"
 
 
+def c4_line_filter_col(text: Column, min_words: int = 3) -> Column:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that end in terminal punctuation, have at least ``min_words``
+    words, and carry no javascript/cookie/brace boilerplate markers;
+    survivors re-join with newlines. One native higher-order filter —
+    map-only, zero shuffle (the standard web-text line gate applied before
+    document-level quality scoring)."""
+    lines = F.split(text, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: (
+            ln.rlike(r"[.!?]\s*$")
+            & (F.size(F.split(F.trim(ln), r"\s+")) >= min_words)
+            & ~F.lower(ln).contains("javascript")
+            & ~F.lower(ln).contains("cookie")
+            & ~ln.contains("{")
+        ),
+    )
+    return F.array_join(kept, "\n")
+
+
+def c4_line_filter_sql(expr: str, min_words: int = 3) -> str:
+    """DuckDB twin of :func:`c4_line_filter_col` (same rules, same
+    empty-split quirks; empty survivor list coalesces to '' like Spark's
+    array_join)."""
+    return (
+        "coalesce(array_to_string(list_filter("
+        f"string_split({expr}, chr(10)), ln -> "
+        r"regexp_matches(ln, '[.!?]\s*$') "
+        f"AND len(regexp_split_to_array(trim(ln), '\\s+')) >= {min_words} "
+        "AND NOT contains(lower(ln), 'javascript') "
+        "AND NOT contains(lower(ln), 'cookie') "
+        "AND NOT contains(ln, '{')), chr(10)), '')"
+    )
+
+
 def fingerprint_col(text: Column) -> Column:
     """64-bit content fingerprint of whitespace-normalized lowercase text.
 

@@ -106,3 +106,33 @@ def range_join(
     first_shared = F.col("__bucket") == F.floor(F.greatest(F.col(lb), F.col(rb)) / width)
     out_cols = [c for c in joined.columns if c != "__bucket"]
     return joined.filter(overlap & first_shared).select(*out_cols)
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    by: str,
+    gap: str = "30 minutes",
+    agg_cols: list | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: group each key's events into sessions that
+    close after ``gap`` of inactivity. Built on Spark's NATIVE
+    ``session_window`` aggregate (the idiomatic form — the same expression
+    works unchanged on a stream with a watermark), so the whole operator is
+    one hash-partitioned aggregation: no self-join, no per-key collect,
+    no window-function sort pass.
+
+    Output: ``(by, session_start, session_end, n_events, *agg_cols)``,
+    where ``session_end`` is the last event's timestamp plus ``gap``
+    (Spark session_window semantics — the instant the session expires).
+    """
+    aggs = [F.count(F.lit(1)).alias("n_events")] + list(agg_cols or [])
+    out = df.groupBy(by, F.session_window(F.col(ts_col), gap).alias("__w")) \
+            .agg(*aggs)
+    rest = [c for c in out.columns if c not in (by, "__w")]
+    return out.select(
+        by,
+        F.col("__w.start").alias("session_start"),
+        F.col("__w.end").alias("session_end"),
+        *rest,
+    )
