@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "stratified_sample_docs",
     "price_percentiles",
     "vocab_top_tokens",
+    "sessionize_events",
+    "c4_clean_docs",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)
