@@ -106,6 +106,31 @@ def revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation (ROLLUP grouping sets, §2.8 engine surface):
+    revenue by (nation, order year), per-nation subtotals, grand total —
+    one pass, Spark expands the grouping sets inside a single hash
+    aggregate. grouping() flags disambiguate subtotal rows from genuine
+    NULL keys."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    n = _load(spark, sf_dir, "nation")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+    )
+    return (
+        joined.rollup("n_name", "o_year")
+        .agg(
+            F.grouping("n_name").cast("long").alias("g_nation"),
+            F.grouping("o_year").cast("long").alias("g_year"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join (§2.8 semi/anti)."""
     c = _load(spark, sf_dir, "customer")
@@ -858,6 +883,17 @@ def c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval over the documents corpus — top-20 for a
+    fixed keyword query. No inverted index: per-term tf as native HOF
+    expressions, one map-side stats aggregate broadcast back, TakeOrdered
+    top-k; the corpus never shuffles."""
+    from hyped_spark.operators.search import bm25_topk
+
+    d = _load(spark, sf_dir, "documents")
+    return bm25_topk(d, "fast table scan merge", k=20)
+
+
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentiles (percentile_cont semantics) — the order-
     statistics report of the stats family; one sort-based aggregate per
@@ -889,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_cust": top_orders_per_cust,
         "revenue_per_nation": revenue_per_nation,
         "customers_without_orders": customers_without_orders,
+        "rollup_revenue": rollup_revenue,
         "events_lww_latest": events_lww_latest,
         "events_lww_salted": events_lww_salted,
         "union_evolved": union_evolved,
@@ -936,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_tokens": vocab_top_tokens,
         "sessionize_events": sessionize_events,
         "c4_clean_docs": c4_clean_docs,
+        "bm25_search_docs": bm25_search_docs,
         "source_mixture_docs": source_mixture_docs,
         "quality_scores": quality_scores,
         "asof_join_events": asof_join_events,
@@ -1153,6 +1191,21 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY user_id, grp
         """,
         "c4_clean_docs": _c4_clean_oracle(),
+        "bm25_search_docs": _bm25_oracle(),
+        "rollup_revenue": """
+            SELECT n_name, o_year,
+                   CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+                   CAST(GROUPING(o_year) AS BIGINT) AS g_year,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM (SELECT n_name,
+                         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                         o_totalprice
+                  FROM orders
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey)
+            GROUP BY ROLLUP (n_name, o_year)
+        """,
         "price_percentiles": """
             SELECT l_returnflag,
                    unnest(CAST([0.25, 0.5, 0.75, 0.95] AS DOUBLE[])) AS p,
@@ -1984,6 +2037,12 @@ def _ann_lsh_oracle(dim: int = 64, n_bits: int = 6, k: int = 5) -> str:
             FROM scored
         ) WHERE rank <= {k}
     """
+
+
+def _bm25_oracle() -> str:
+    from hyped_spark.operators.search import bm25_oracle_sql
+
+    return bm25_oracle_sql("fast table scan merge", k=20)
 
 
 def _c4_clean_oracle() -> str:

@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "vocab_top_tokens",
     "sessionize_events",
     "c4_clean_docs",
+    "bm25_search_docs",
+    "rollup_revenue",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

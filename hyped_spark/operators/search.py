@@ -1,0 +1,139 @@
+"""Full-text keyword search (Okapi BM25) over a document corpus.
+
+The reference engine exposes text processing but no ranked retrieval; this
+is a training-data-pipeline extension (corpus inspection: "show me the docs
+that best match this query" — quality audits, contamination spot-checks,
+eval-set curation).
+
+Scale shape: the query is a small literal term list, so there is NO
+inverted-index shuffle at all. Per-document term frequencies are native
+higher-order-function expressions over the token array (map-only), the
+corpus-level statistics (N, avgdl, per-term document frequencies) are ONE
+map-side-combinable aggregate producing a single row that is broadcast back
+(1-row cross join), and the final top-k is a TakeOrdered — the corpus is
+scanned twice and never shuffled. At 100 TB both passes are embarrassingly
+parallel; the only data movement is the 1-row stats collect.
+
+All arithmetic (integer tf/df/dl, exact integer sums inside avg) is
+deterministic and engine-portable, so the DuckDB oracle replays the exact
+score — see ``bm25_oracle_sql``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_TOKEN_PAT = "[a-z0-9]+"
+
+
+def _tokens(text_col: str) -> Column:
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_TOKEN_PAT), 0)
+
+
+def tokenize_query(query: str) -> list[str]:
+    """Lowercased alphanumeric terms, deduplicated, order-preserving."""
+    seen: dict[str, None] = {}
+    for t in re.findall(_TOKEN_PAT, query.lower()):
+        seen.setdefault(t, None)
+    return list(seen)
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for ``query`` under Okapi BM25 (Lucene idf:
+    ``ln((N - df + 0.5) / (df + 0.5) + 1)``; ties broken by ascending id).
+
+    Output: ``(id_col, score)`` with score rounded to 6 dp.
+    """
+    terms = tokenize_query(query)
+    if not terms:
+        raise ValueError("query has no indexable terms")
+
+    def _tf(arr: Column, term: str) -> Column:
+        # NB: a default-arg lambda breaks PySpark's HOF arity inspection —
+        # bind the term via this closure instead
+        return F.size(F.filter(arr, lambda x: x == F.lit(term)))
+
+    toks = _tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("__dl"),
+        *[_tf(toks, t).alias(f"__tf{i}") for i, t in enumerate(terms)],
+    )
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    scored = base.crossJoin(F.broadcast(stats))
+    n, avgdl = F.col("__n"), F.col("__avgdl")
+    parts = []
+    for i in range(len(terms)):
+        tf, dfc = F.col(f"__tf{i}"), F.col(f"__df{i}")
+        idf = F.log((n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)) + F.lit(1.0))
+        norm = tf + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("__dl") / avgdl)
+        parts.append(idf * tf * F.lit(k1 + 1) / norm)
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+
+    return (
+        scored.select(id_col, score.alias("__s"))
+        .orderBy(F.col("__s").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("__s", 6).alias("score"))
+    )
+
+
+def bm25_oracle_sql(
+    query: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` — same tokenizer, same arithmetic
+    expression shape (integer tf/df/dl → bit-identical doubles)."""
+    terms = tokenize_query(query)
+    tf_cols = ", ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"(ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * tf{i} * {k1 + 1!r} / (tf{i} + {k1!r} * ({1 - b!r} + {b!r} * dl / avgdl)))"
+        for i in range(len(terms))
+    )
+    return f"""
+        WITH base AS (
+            SELECT {id_col}, len(t) AS dl, {tf_cols}
+            FROM (SELECT {id_col},
+                         regexp_extract_all(lower({text_col}), '{_TOKEN_PAT}') AS t
+                  FROM {table})
+        ), stats AS (
+            SELECT count(*) AS n, avg(dl) AS avgdl, {df_cols} FROM base
+        )
+        SELECT {id_col}, round(s, 6) AS score
+        FROM (SELECT {id_col}, {score} AS s FROM base, stats
+              ORDER BY s DESC, {id_col} LIMIT {k})
+    """

@@ -1,0 +1,78 @@
+"""Okapi BM25 ranked retrieval."""
+
+from __future__ import annotations
+
+import math
+
+
+DOCS = [
+    (1, "fast table scan over the fast table"),
+    (2, "slow merge of the big table"),
+    (3, "fast fast fast row group"),
+    (4, "window sort batch stream"),
+]
+
+
+def _expected(query_terms, k1=1.2, b=0.75):
+    toks = {i: t.split() for i, t in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for i, tk in toks.items():
+        s = 0.0
+        for q in query_terms:
+            tf = tk.count(q)
+            dfq = sum(1 for v in toks.values() if q in v)
+            idf = math.log((n - dfq + 0.5) / (dfq + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+        scores[i] = s
+    return scores
+
+
+def test_bm25_matches_hand_computation(spark):
+    from hyped_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = bm25_topk(df, "fast table", k=4).collect()
+    exp = _expected(["fast", "table"])
+    got = {r.doc_id: r.score for r in out}
+    assert set(got) == {1, 2, 3, 4}
+    for i, s in exp.items():
+        assert abs(got[i] - round(s, 6)) < 1e-6, (i, got[i], s)
+    # doc 1 has both terms (one twice each) -> best match
+    ranked = [r.doc_id for r in out]
+    assert ranked[0] == 1
+
+
+def test_bm25_tie_break_and_k(spark):
+    from hyped_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "alpha beta"), (12, "gamma delta")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, "alpha", k=2).collect()
+    # identical docs tie on score; ascending-id tie-break
+    assert [r.doc_id for r in out] == [10, 11]
+
+
+def test_bm25_plan_has_no_shuffle_join(spark):
+    from hyped_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = (
+        bm25_topk(df, "fast table", k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_rejects_empty_query(spark):
+    import pytest
+
+    from hyped_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(df, "!!! ???")
