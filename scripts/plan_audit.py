@@ -210,6 +210,50 @@ def main() -> None:
         ("no join", "Join" not in p),
     ]))
 
+    # 17. sessionization: native session_window — ONE exchange on the key,
+    # partial agg + MergingSessions; no self-join, no window-function pass
+    p = plan_of(q["sessionize_events"](spark, SF))
+    sections.append(("sessionize_events (native session_window agg)", p, [
+        ("single exchange (hash on the session key)",
+         len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+        ("session merge is the native aggregate (MergingSessions)",
+         "MergingSessions" in p),
+        ("no join", "Join" not in p),
+    ]))
+
+    # 18. C4 line cleaning: one higher-order filter — pure projection
+    p = plan_of(q["c4_clean_docs"](spark, SF))
+    sections.append(("c4_clean_docs (map-only HOF line gate)", p, [
+        ("no exchange at all (pure projection)",
+         len(re.findall(r"\(\d+\) Exchange", p)) == 0),
+        ("native codegen (no Python eval)", "ArrowEvalPython" not in p
+         and "BatchEvalPython" not in p),
+    ]))
+
+    # 19. BM25: no inverted-index shuffle — the only join is the broadcast
+    # of the 1-row stats aggregate; top-k is TakeOrdered
+    p = plan_of(q["bm25_search_docs"](spark, SF))
+    sections.append(("bm25_search_docs (broadcast stats row + TakeOrdered)", p, [
+        ("corpus never shuffle-joined", "SortMergeJoin" not in p
+         and "ShuffledHashJoin" not in p),
+        ("stats row broadcast (1-row nested loop)",
+         "BroadcastNestedLoopJoin" in p),
+        ("top-k is TakeOrdered (no global sort)",
+         "TakeOrderedAndProject" in p),
+        ("native codegen (no Python eval)", "ArrowEvalPython" not in p
+         and "BatchEvalPython" not in p),
+    ]))
+
+    # 20. ROLLUP: grouping sets expand inside ONE partial+final aggregate —
+    # a single exchange for all three grouping levels
+    p = plan_of(q["rollup_revenue"](spark, SF))
+    sections.append(("rollup_revenue (grouping-set Expand, one agg)", p, [
+        ("single exchange for all grouping levels",
+         len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+        ("grouping sets expanded map-side (Expand)", "Expand" in p),
+        ("dims broadcast", "BroadcastHashJoin" in p),
+    ]))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)\n"]
     all_ok = True
     for title, plan, checks in sections:

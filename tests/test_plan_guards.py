@@ -104,3 +104,33 @@ def test_small_side_joins_broadcast(spark):
     p = _plan(q["ann_topk_cosine"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_sessionize_single_exchange_native_merge(spark):
+    """Sessionization must stay ONE hash exchange + the native
+    MergingSessions aggregate — no self-join, no window-function pass."""
+    p = _plan(entrymod.queries()["sessionize_events"](spark, SF_DIR))
+    assert _exchanges(p) == 1
+    assert "MergingSessions" in p
+    assert "Join" not in p
+
+
+def test_c4_clean_is_pure_projection(spark):
+    p = _plan(entrymod.queries()["c4_clean_docs"](spark, SF_DIR))
+    assert _exchanges(p) == 0
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_bm25_no_corpus_shuffle_join(spark):
+    """BM25 must never shuffle-join the corpus: the stats row arrives as a
+    1-row broadcast nested loop, the top-k is a TakeOrdered."""
+    p = _plan(entrymod.queries()["bm25_search_docs"](spark, SF_DIR))
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_rollup_single_exchange_expand(spark):
+    p = _plan(entrymod.queries()["rollup_revenue"](spark, SF_DIR))
+    assert _exchanges(p) == 1
+    assert "Expand" in p
