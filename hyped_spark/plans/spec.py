@@ -288,6 +288,33 @@ def _cut_dup_spans(p: dict) -> Stage:
     return run
 
 
+@register("c4_filter")
+def _c4_filter(p: dict) -> Stage:
+    from hyped_spark.functions.text import c4_line_filter_col
+    col = p.get("text_col", "text")
+    return lambda df: df.withColumn(
+        col, c4_line_filter_col(F.col(col), min_words=p.get("min_words", 3))
+    )
+
+
+@register("sessionize")
+def _sessionize(p: dict) -> Stage:
+    from hyped_spark.operators.joins import sessionize
+    return lambda df: sessionize(
+        df, p["ts_col"], p["by"], gap=p.get("gap", "30 minutes")
+    )
+
+
+@register("bm25_topk")
+def _bm25_topk(p: dict) -> Stage:
+    from hyped_spark.operators.search import bm25_topk
+    return lambda df: bm25_topk(
+        df, p["query"], id_col=p.get("id_col", "doc_id"),
+        text_col=p.get("text_col", "text"), k=p.get("k", 10),
+        k1=p.get("k1", 1.2), b=p.get("b", 0.75),
+    )
+
+
 @register("repartition")
 def _repartition(p: dict) -> Stage:
     cols = [F.col(c) for c in p.get("columns", [])]

@@ -12,6 +12,8 @@ Stages (each one a library operator — this script only chains them):
 4. PII scrub                   (native regexp email/IPv4/phone redaction)
 5. boilerplate cut [opt]       (--cut-dup-ngram N: remove cross-doc
                                 duplicated runs of >= N tokens)
+5b. C4 line gate [opt]         (--c4-lines MIN_WORDS: keep sentence-like
+                                lines only, drop docs left empty)
 6. quality gate                (quality score + Gopher repetition fractions)
 7. language filter             (native n-gram language id)
 8. stratified sample [opt]     (--sample '{"src":frac,...}': per-source
@@ -59,6 +61,12 @@ def main() -> None:
                          ">= N tokens after decontamination (boilerplate "
                          "removal; rewrites text as the normalized token "
                          "stream)")
+    ap.add_argument("--c4-lines", type=int, default=0, metavar="MIN_WORDS",
+                    help="if > 0, apply the C4 line-level cleaning gate "
+                         "(terminal punctuation, >= MIN_WORDS words, no "
+                         "boilerplate markers) before the quality gate and "
+                         "drop docs left empty; off by default — the "
+                         "synthetic corpus has no sentence punctuation")
     ap.add_argument("--sample", default=None,
                     help="JSON dict of per-source keep fractions for "
                          'deterministic stratified sampling, e.g. '
@@ -143,6 +151,14 @@ def main() -> None:
         d = (d.drop("text").join(clean, "doc_id")
              .withColumnRenamed("clean_text", "text"))
         counts["after_boilerplate_cut"] = d.count()
+
+    if args.c4_lines > 0:
+        from hyped_spark.functions.text import c4_line_filter_col
+
+        d = (d.withColumn("text", c4_line_filter_col(F.col("text"),
+                                                     min_words=args.c4_lines))
+             .filter(F.length("text") > 0))
+        counts["after_c4_line_gate"] = d.count()
 
     d = (
         d.withColumn("quality", quality_score_col(F.col("text")))

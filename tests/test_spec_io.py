@@ -405,3 +405,52 @@ def test_new_curation_stages_as_declarative_spec(spark):
     assert all("email" in r.text.split()
                for r in rows if r.doc_id % 13 != 0)
     assert all("newsletter" not in r.text for r in rows)
+
+
+def test_search_and_session_stages_as_declarative_spec(spark):
+    """c4_filter, bm25_topk and sessionize register as declarative stages
+    and survive the JSON round-trip."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hyped_spark.plans.spec import PipelineSpec
+
+    spec = PipelineSpec(
+        source=None,
+        stages=[
+            {"op": "c4_filter", "min_words": 2},
+            {"op": "bm25_topk", "query": "fast table", "k": 3},
+        ],
+        name="clean_then_search",
+    )
+    spec = PipelineSpec.from_json(spec.to_json())
+    docs = spark.createDataFrame(
+        [(1, "the fast table wins.\nclick to accept cookie policy."),
+         (2, "a slow merge happens.\nfast fast table table scan here."),
+         (3, "javascript required.")],
+        "doc_id long, text string",
+    )
+    rows = spec.transform(docs).collect()
+    # doc 3 loses its only line to the gate -> empty text -> zero score,
+    # ranked last; docs 1 and 2 both match (relative order is BM25 length
+    # normalization, not asserted)
+    assert len(rows) == 3 and rows[-1].doc_id == 3 and rows[-1].score == 0.0
+    assert {rows[0].doc_id, rows[1].doc_id} == {1, 2}
+    assert rows[0].score >= rows[1].score > 0
+
+    sess = PipelineSpec(
+        source=None,
+        stages=[{"op": "sessionize", "ts_col": "ts", "by": "uid",
+                 "gap": "10 minutes"}],
+        name="sessions",
+    )
+    sess = PipelineSpec.from_json(sess.to_json())
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(7, base), (7, base + dt.timedelta(minutes=5)),
+         (7, base + dt.timedelta(minutes=40))],
+        "uid long, ts timestamp",
+    )
+    out = sorted((r.uid, r.n_events) for r in sess.transform(ev).collect())
+    assert out == [(7, 1), (7, 2)]
