@@ -46,3 +46,62 @@ def test_sessionize_extra_aggs_and_plan(spark):
     plan = sessionize(df, "ts", "user_id", "30 minutes")._jdf \
         .queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_sessionize_on_a_stream(spark, tmp_path):
+    """The same sessionize() expression runs unchanged on a stream: with a
+    watermark, a session emits exactly once when the watermark passes its
+    end, and its state is evicted (SURVEY §2.9 claim-backing)."""
+    import os
+
+    from hyped_spark.operators.joins import sessionize
+
+    src = tmp_path / "segs"
+    src.mkdir()
+
+    def seg(name, rows, mtime):
+        df = spark.createDataFrame(
+            [(u, dt.datetime(2024, 1, 1, *t)) for u, t in rows],
+            "user_id long, ts timestamp",
+        )
+        p = str(src / name)
+        df.coalesce(1).write.parquet(p)
+        os.utime(p, (mtime, mtime))
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (mtime, mtime))
+
+    # batch 1: user 7 has two events 20s apart (one session, gap 1 min)
+    seg("seg0", [(7, (10, 0, 0)), (7, (10, 0, 20))], 1_000)
+    # batch 2: user 7 again much later (second session) + user 8 singleton
+    seg("seg1", [(7, (10, 10, 0)), (8, (10, 10, 30))], 2_000)
+    # batch 3: far-future event closes everything still open
+    seg("seg2", [(9, (12, 0, 0))], 3_000)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src) + "/seg*")
+    )
+    q = (
+        sessionize(stream.withWatermark("ts", "2 minutes"),
+                   "ts", "user_id", "1 minute")
+        .writeStream.format("memory").queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r.user_id, r.session_start.strftime("%H:%M:%S"), r.n_events)
+        for r in spark.sql("select * from sessions").collect()
+    )
+    assert rows == [
+        (7, "10:00:00", 2),
+        (7, "10:10:00", 1),
+        (8, "10:10:30", 1),
+    ]
+    # bounded state: only the still-open 12:00 session of user 9 remains
+    state = q.recentProgress[-1]["stateOperators"][0]
+    assert state["numRowsTotal"] == 1, state
