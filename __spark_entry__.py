@@ -894,6 +894,19 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, "fast table scan merge", k=20)
 
 
+def lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: fit an add-alpha unigram model on
+    the corpus (top-20 vocabulary head — the tail is genuinely OOV here)
+    and score every document's cross-entropy / perplexity. The fit's two
+    scalars are bounded driver metadata (IVF-centroid contract); scoring
+    is an explode + broadcast-vocab join + per-doc re-aggregation."""
+    from hyped_spark.operators.lm import fit_unigram_lm, lm_perplexity
+
+    d = _load(spark, sf_dir, "documents")
+    lm = fit_unigram_lm(d, vocab_size=20, alpha=0.5)
+    return lm_perplexity(d, lm)
+
+
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentiles (percentile_cont semantics) — the order-
     statistics report of the stats family; one sort-based aggregate per
@@ -974,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "c4_clean_docs": c4_clean_docs,
         "bm25_search_docs": bm25_search_docs,
+        "lm_perplexity_docs": lm_perplexity_docs,
         "source_mixture_docs": source_mixture_docs,
         "quality_scores": quality_scores,
         "asof_join_events": asof_join_events,
@@ -1192,6 +1206,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "c4_clean_docs": _c4_clean_oracle(),
         "bm25_search_docs": _bm25_oracle(),
+        "lm_perplexity_docs": _lm_oracle(vocab_size=20, alpha=0.5),
         "rollup_revenue": """
             SELECT n_name, o_year,
                    CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
@@ -2036,6 +2051,39 @@ def _ann_lsh_oracle(dim: int = 64, n_bits: int = 6, k: int = 5) -> str:
                                          ORDER BY cosine DESC, vec_id ASC) AS rank
             FROM scored
         ) WHERE rank <= {k}
+    """
+
+
+def _lm_oracle(vocab_size: int = 20, alpha: float = 0.5) -> str:
+    """Replays the unigram-LM fit (integer counts, token tie-break, 8-dp
+    logp rounding) and the per-doc scoring — same arithmetic shape as
+    operators/lm.py, so values match at the output rounding."""
+    return f"""
+        WITH {_TOKS_CTE}, flat AS (
+            SELECT doc_id, unnest(t) AS tok FROM toks
+        ), counts AS (
+            SELECT tok, count(*) AS c FROM flat GROUP BY tok
+        ), head AS (
+            SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT {vocab_size}
+        ), params AS (
+            SELECT (SELECT sum(c) FROM counts)
+                   + {alpha} * ((SELECT count(*) FROM head) + 1) AS denom
+        ), vlp AS (
+            SELECT tok, round(ln((c + {alpha}) / denom), 8) AS logp
+            FROM head, params
+        ), unk AS (
+            SELECT round(ln({alpha} / denom), 8) AS ulp FROM params
+        ), scored AS (
+            SELECT f.doc_id,
+                   count(*) AS n_tokens,
+                   sum(coalesce(v.logp, u.ulp)) AS slp
+            FROM flat f LEFT JOIN vlp v USING (tok) CROSS JOIN unk u
+            GROUP BY f.doc_id
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(-slp / n_tokens, 4) AS cross_entropy,
+               round(exp(-slp / n_tokens), 4) AS perplexity
+        FROM scored
     """
 
 

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "c4_clean_docs",
     "bm25_search_docs",
     "rollup_revenue",
+    "lm_perplexity_docs",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

@@ -1,0 +1,115 @@
+"""Corpus language-model quality scoring (CCNet-style perplexity filter).
+
+CCNet (Wenzek et al. 2020) ranks web documents by the perplexity of a
+KenLM n-gram model; the bucket boundaries then drive keep/drop decisions.
+This module implements the same *shape* with a self-contained add-alpha
+unigram model fit on the corpus itself (no external model artifacts in the
+container): fit once, score every document with a per-token cross-entropy
+and perplexity. Swapping in real KenLM scores later only changes the
+``logp`` column, not the plumbing.
+
+Scale shape: the fit is one token-count aggregation (map-side combinable)
+followed by a TakeOrdered vocabulary head; the count table is
+localCheckpoint'ed (it is vocabulary-sized, not corpus-sized) so the
+corpus is scanned exactly ONCE for the fit. The two model scalars (total
+token count, kept mass) are bounded driver metadata — same contract as the
+IVF centroids / SQ quantization params. Scoring joins the exploded corpus
+against the BROADCAST vocabulary and re-aggregates per document: the only
+shuffle carries (doc_id, partial-sum) rows, never text.
+
+Determinism / oracle: token counts are integers, the vocabulary head is
+tie-broken by token, and each token's logp is rounded to 8 dp at fit time
+(the same round-at-every-step trick that makes the IVF k-means fit
+replayable), so the DuckDB oracle reproduces scores exactly at the output
+rounding.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class UnigramLM:
+    """Fitted model: a (token, logp) vocabulary frame + OOV log-prob."""
+
+    def __init__(self, vocab: DataFrame, unk_logp: float,
+                 total_tokens: int, n_types: int):
+        self.vocab = vocab            # (tok string, logp double)
+        self.unk_logp = unk_logp
+        self.total_tokens = total_tokens
+        self.n_types = n_types        # kept types + 1 (UNK)
+
+
+def fit_unigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 65536,
+    alpha: float = 0.5,
+) -> UnigramLM:
+    """Fit an add-``alpha`` (Lidstone) unigram LM on the corpus.
+
+    ``p(w) = (c_w + alpha) / (total + alpha * (|V| + 1))`` for the top
+    ``vocab_size`` tokens (ties broken by token); an out-of-vocabulary
+    token scores as an UNSEEN type (``c = 0``, i.e. ``alpha / denom``) —
+    deliberately pessimistic, which is exactly what a perplexity quality
+    filter wants (pooling the whole tail mass into one UNK type would make
+    all-OOV junk score *better* than common text).
+    """
+    from hyped_spark.functions.hashing import tokens_col
+
+    counts = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        # vocabulary-sized, not corpus-sized: pin it so the head and the
+        # totals below don't each rescan the corpus
+        .localCheckpoint(eager=True)
+    )
+    head = counts.orderBy(F.col("c").desc(), F.col("tok")).limit(vocab_size)
+
+    total = counts.agg(F.sum("c")).first()[0] or 0
+    n_kept = head.agg(F.count(F.lit(1))).first()[0] or 0
+    n_types = n_kept + 1  # + the unseen-type slot
+    denom = total + alpha * n_types
+
+    vocab = head.select(
+        "tok",
+        F.round(F.log((F.col("c") + F.lit(alpha)) / F.lit(denom)), 8)
+         .alias("logp"),
+    )
+    unk_logp = round(math.log(alpha / denom), 8)
+    return UnigramLM(vocab, unk_logp, total, n_types)
+
+
+def lm_perplexity(
+    df: DataFrame,
+    lm: UnigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-entropy and perplexity under ``lm``.
+
+    Output: ``(id_col, n_tokens, cross_entropy, perplexity)`` (4 dp);
+    documents with zero tokens are absent (no defined perplexity).
+    """
+    from hyped_spark.functions.hashing import tokens_col
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    scored = (
+        toks.join(F.broadcast(lm.vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("logp", F.lit(lm.unk_logp))).alias("__slp"),
+        )
+    )
+    h = -F.col("__slp") / F.col("n_tokens")
+    return scored.select(
+        id_col,
+        "n_tokens",
+        F.round(h, 4).alias("cross_entropy"),
+        F.round(F.exp(h), 4).alias("perplexity"),
+    )

@@ -315,6 +315,28 @@ def _bm25_topk(p: dict) -> Stage:
     )
 
 
+@register("lm_score")
+def _lm_score(p: dict) -> Stage:
+    from hyped_spark.operators.lm import fit_unigram_lm, lm_perplexity
+
+    def run(df: DataFrame) -> DataFrame:
+        id_col = p.get("id_col", "doc_id")
+        text_col = p.get("text_col", "text")
+        lm = fit_unigram_lm(df, text_col=text_col,
+                            vocab_size=p.get("vocab_size", 65536),
+                            alpha=p.get("alpha", 0.5))
+        scores = lm_perplexity(df, lm, id_col=id_col, text_col=text_col)
+        # the scores frame is corpus-keyed but NARROW (id + 3 numerics):
+        # the join-back shuffles ids and scalars, never text
+        out = df.join(
+            scores.select(id_col, "cross_entropy", "perplexity"), id_col
+        )
+        if "max_ppl" in p:
+            out = out.filter(F.col("perplexity") <= p["max_ppl"])
+        return out
+    return run
+
+
 @register("repartition")
 def _repartition(p: dict) -> Stage:
     cols = [F.col(c) for c in p.get("columns", [])]

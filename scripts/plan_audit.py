@@ -254,6 +254,17 @@ def main() -> None:
         ("dims broadcast", "BroadcastHashJoin" in p),
     ]))
 
+    # 21. LM perplexity scoring: the vocabulary joins BROADCAST against the
+    # exploded corpus; the only shuffle carries (doc_id, partial sums)
+    p = plan_of(q["lm_perplexity_docs"](spark, SF))
+    sections.append(("lm_perplexity_docs (broadcast vocab + per-doc re-agg)", p, [
+        ("vocab broadcast (corpus never shuffle-joined)",
+         "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+        ("per-doc agg is partial+final", p.count("HashAggregate") >= 2),
+        ("native codegen (no Python eval)", "ArrowEvalPython" not in p
+         and "BatchEvalPython" not in p),
+    ]))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)\n"]
     all_ok = True
     for title, plan, checks in sections:

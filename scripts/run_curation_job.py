@@ -15,6 +15,8 @@ Stages (each one a library operator — this script only chains them):
 5b. C4 line gate [opt]         (--c4-lines MIN_WORDS: keep sentence-like
                                 lines only, drop docs left empty)
 6. quality gate                (quality score + Gopher repetition fractions)
+6b. perplexity gate [opt]      (--max-ppl X: drop docs above X under a
+                                corpus-fit add-alpha unigram LM)
 7. language filter             (native n-gram language id)
 8. stratified sample [opt]     (--sample '{"src":frac,...}': per-source
                                 hash-threshold downsampling)
@@ -67,6 +69,11 @@ def main() -> None:
                          "boilerplate markers) before the quality gate and "
                          "drop docs left empty; off by default — the "
                          "synthetic corpus has no sentence punctuation")
+    ap.add_argument("--max-ppl", type=float, default=0.0,
+                    help="if > 0, fit an add-alpha unigram LM on the "
+                         "surviving corpus and drop documents whose "
+                         "perplexity exceeds this bound (CCNet-style "
+                         "quality gate); off by default")
     ap.add_argument("--sample", default=None,
                     help="JSON dict of per-source keep fractions for "
                          'deterministic stratified sampling, e.g. '
@@ -168,6 +175,15 @@ def main() -> None:
                 & (F.col("dup_3gram_frac") <= args.max_dup_3gram))
     )
     counts["after_quality_gate"] = d.count()
+
+    if args.max_ppl > 0:
+        from hyped_spark.operators.lm import fit_unigram_lm, lm_perplexity
+
+        lm = fit_unigram_lm(d)
+        scores = lm_perplexity(d, lm)
+        d = d.join(scores.select("doc_id", "perplexity"), "doc_id") \
+             .filter(F.col("perplexity") <= args.max_ppl)
+        counts["after_ppl_gate"] = d.count()
 
     langs = [s.strip() for s in args.langs.split(",") if s.strip()]
     d = d.withColumn("lang_guess", lang_id_col(F.col("text"))) \

@@ -1,0 +1,101 @@
+"""Add-alpha unigram LM fit + per-document perplexity scoring."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat"),
+    (3, "zebra quagga okapi"),   # rare tokens -> partly OOV at small V
+]
+
+
+def _expected(vocab_size, alpha=0.5):
+    toks = {i: t.split() for i, t in DOCS}
+    counts = Counter(t for v in toks.values() for t in v)
+    head = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    total = sum(counts.values())
+    kept = dict(head)
+    n_types = len(head) + 1
+    denom = total + alpha * n_types
+    logp = {t: round(math.log((c + alpha) / denom), 8) for t, c in kept.items()}
+    unk = round(math.log(alpha / denom), 8)
+    out = {}
+    for i, tk in toks.items():
+        slp = sum(logp.get(t, unk) for t in tk)
+        h = -slp / len(tk)
+        out[i] = (len(tk), round(h, 4), round(math.exp(h), 4))
+    return out
+
+
+def test_lm_scores_match_hand_computation(spark):
+    from hyped_spark.operators.lm import fit_unigram_lm, lm_perplexity
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    for v in (4, 100):  # with real OOV mass, and with full coverage
+        lm = fit_unigram_lm(df, vocab_size=v)
+        got = {
+            r.doc_id: (r.n_tokens, r.cross_entropy, r.perplexity)
+            for r in lm_perplexity(df, lm).collect()
+        }
+        assert got == _expected(v), (v, got)
+
+
+def test_lm_probability_mass_is_sane(spark):
+    from hyped_spark.operators.lm import fit_unigram_lm
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    # full vocabulary coverage: kept mass + one unseen slot sums to 1
+    lm = fit_unigram_lm(df, vocab_size=100, alpha=0.5)
+    mass = sum(math.exp(r.logp) for r in lm.vocab.collect())
+    assert abs(mass + math.exp(lm.unk_logp) - 1.0) < 1e-6, mass
+    # truncated vocabulary: the unseen-type estimate is pessimistic — the
+    # OOV slot gets LESS probability than any kept token, never the pooled
+    # tail mass
+    lm4 = fit_unigram_lm(df, vocab_size=4, alpha=0.5)
+    min_kept = min(r.logp for r in lm4.vocab.collect())
+    assert lm4.unk_logp < min_kept
+    assert lm4.n_types == 5
+
+
+def test_lm_rare_docs_have_higher_perplexity(spark):
+    """The quality-filter premise: in-distribution text scores lower
+    perplexity than rare/OOV text."""
+    from hyped_spark.operators.lm import fit_unigram_lm, lm_perplexity
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    lm = fit_unigram_lm(df, vocab_size=4)
+    ppl = {r.doc_id: r.perplexity for r in lm_perplexity(df, lm).collect()}
+    assert ppl[3] > ppl[1] and ppl[3] > ppl[2]
+
+
+def test_lm_scoring_plan_broadcasts_vocab(spark):
+    from hyped_spark.operators.lm import fit_unigram_lm, lm_perplexity
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    lm = fit_unigram_lm(df, vocab_size=4)
+    plan = lm_perplexity(df, lm)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lm_score_stage_roundtrip(spark):
+    """lm_score registers as a declarative stage: fit-on-input, score
+    columns joined back, optional max_ppl filter."""
+    from hyped_spark.plans.spec import PipelineSpec
+
+    spec = PipelineSpec(
+        source=None,
+        stages=[{"op": "lm_score", "vocab_size": 4, "max_ppl": 10.0}],
+        name="ppl_gate",
+    )
+    spec = PipelineSpec.from_json(spec.to_json())
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    rows = spec.transform(df).collect()
+    exp = _expected(4)
+    keep = {i for i, (_, _, ppl) in exp.items() if ppl <= 10.0}
+    assert {r.doc_id for r in rows} == keep
+    assert rows and {"text", "cross_entropy", "perplexity"} <= set(rows[0].asDict())
