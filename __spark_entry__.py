@@ -907,6 +907,45 @@ def lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity(d, lm)
 
 
+def image_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under oracle: blobs synthesized from text bytes
+    run through the REAL decode_image_features mapInPandas stage (explicit
+    fake=True codec — sha256-derived features), so the Arrow batch path,
+    struct schema and determinism are all driver-checked. The fake decode
+    is sha256-based, hence SQL-replayable; phash surfaces as two's-
+    complement hex so both engines agree without 64-bit signed parsing."""
+    from hyped_spark.functions.multimodal import decode_image_features
+
+    d = _load(spark, sf_dir, "documents")
+    imgs = d.select("doc_id", F.encode("text", "UTF-8").alias("image"))
+    out = decode_image_features(imgs, blob_col="image", out="img", fake=True)
+    return out.select(
+        "doc_id",
+        F.col("img.width").alias("width"),
+        F.col("img.height").alias("height"),
+        F.round(F.col("img.mean_luma").cast("double"), 6).alias("mean_luma"),
+        F.lpad(F.hex(F.col("img.phash")), 16, "0").alias("phash_hex"),
+    )
+
+
+def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) surface: revenue per order priority split by
+    status columns. Explicit pivot values keep it one pass (no extra
+    distinct-values job) — a single partial+final aggregate."""
+    o = _load(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("F").alias("rev_f"),
+        F.col("O").alias("rev_o"),
+        F.col("P").alias("rev_p"),
+    )
+
+
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentiles (percentile_cont semantics) — the order-
     statistics report of the stats family; one sort-based aggregate per
@@ -988,6 +1027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean_docs": c4_clean_docs,
         "bm25_search_docs": bm25_search_docs,
         "lm_perplexity_docs": lm_perplexity_docs,
+        "image_features_docs": image_features_docs,
+        "pivot_order_status": pivot_order_status,
         "source_mixture_docs": source_mixture_docs,
         "quality_scores": quality_scores,
         "asof_join_events": asof_join_events,
@@ -1207,6 +1248,33 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean_docs": _c4_clean_oracle(),
         "bm25_search_docs": _bm25_oracle(),
         "lm_perplexity_docs": _lm_oracle(vocab_size=20, alpha=0.5),
+        # replays the sha256-derived fake codec byte-for-byte: d[0],d[1]
+        # are hex chars 1-4, d[2] chars 5-6, phash = bytes 3..11 = chars
+        # 7-22; mean_luma goes through an explicit float32 cast like the
+        # FloatType field it comes back as
+        "image_features_docs": """
+            WITH h AS (SELECT doc_id, sha256(text) AS s FROM documents)
+            SELECT doc_id,
+                   CAST(64 + CAST('0x' || substr(s, 1, 2) AS INT) % 192
+                        AS INT) AS width,
+                   CAST(64 + CAST('0x' || substr(s, 3, 2) AS INT) % 192
+                        AS INT) AS height,
+                   round(CAST(CAST(CAST('0x' || substr(s, 5, 2) AS INT)
+                                   / 255.0 AS FLOAT) AS DOUBLE), 6)
+                       AS mean_luma,
+                   upper(substr(s, 7, 16)) AS phash_hex
+            FROM h
+        """,
+        "pivot_order_status": """
+            SELECT o_orderpriority,
+                   round(sum(CASE WHEN o_orderstatus = 'F'
+                                  THEN o_totalprice END), 2) AS rev_f,
+                   round(sum(CASE WHEN o_orderstatus = 'O'
+                                  THEN o_totalprice END), 2) AS rev_o,
+                   round(sum(CASE WHEN o_orderstatus = 'P'
+                                  THEN o_totalprice END), 2) AS rev_p
+            FROM orders GROUP BY o_orderpriority
+        """,
         "rollup_revenue": """
             SELECT n_name, o_year,
                    CAST(GROUPING(n_name) AS BIGINT) AS g_nation,

@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "bm25_search_docs",
     "rollup_revenue",
     "lm_perplexity_docs",
+    "image_features_docs",
+    "pivot_order_status",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)
