@@ -247,6 +247,39 @@ class SnapshotTable:
         return self._read_groups(c, list(c["buckets"].values()), schema,
                                  keep_tombstones=False)
 
+    def lookup(self, keys: list, version: int | None = None) -> DataFrame:
+        """Point lookup by key, reading ONLY the buckets the keys hash to.
+
+        The hash-bucket layout doubles as an index: bucket ids for the
+        requested keys come from the same :func:`bucket_expr` the writer
+        uses (one tiny Spark job over ``len(keys)`` rows, so rebucketed
+        tables stay consistent via the commit's ``n_buckets``), and only
+        those bucket directories are scanned — at 100 TB a k-key lookup
+        touches at most ``k/n_buckets`` of the data, the same pruning
+        contract as Iceberg partition pruning. MOR fragments LWW-resolve
+        within the pruned buckets only.
+        """
+        if not keys:
+            raise ValueError("lookup needs at least one key")
+        v = self.current_version() if version is None else version
+        if v < 0:
+            raise ValueError(f"table {self.path} has no snapshots")
+        c = self._read_commit(v)
+        schema = T.StructType.fromJson(c["schemas"][-1])
+        nb = int(c.get("n_buckets", self.n_buckets))
+        key_schema = T.StructType([schema[self.key]])
+        kdf = self.spark.createDataFrame([(k,) for k in keys], key_schema)
+        bucket_ids = sorted(
+            r[0] for r in
+            kdf.select(bucket_expr(self.key, nb)).distinct().collect()
+        )
+        resolve = self._needs_resolve(c)
+        df = self._read_buckets(c, bucket_ids, schema, with_file=resolve)
+        if resolve:
+            df = self._resolve_lww(df)
+        df = df.filter(~F.col(_TOMBSTONE)).drop(_TOMBSTONE)
+        return df.filter(F.col(self.key).isin(keys))
+
     def _read_groups(self, commit: dict, infos: list[dict],
                      schema: T.StructType, keep_tombstones: bool,
                      with_file: bool = False) -> DataFrame:
