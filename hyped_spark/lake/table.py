@@ -273,12 +273,84 @@ class SnapshotTable:
             r[0] for r in
             kdf.select(bucket_expr(self.key, nb)).distinct().collect()
         )
-        resolve = self._needs_resolve(c)
-        df = self._read_buckets(c, bucket_ids, schema, with_file=resolve)
+        return self._bucket_state(c, bucket_ids).filter(
+            F.col(self.key).isin(keys)
+        )
+
+    def _bucket_state(self, commit: dict, bucket_ids: list[int]) -> DataFrame:
+        """Resolved, tombstone-free state of a subset of buckets under one
+        commit (the read() pipeline, pruned)."""
+        schema = T.StructType.fromJson(commit["schemas"][-1])
+        resolve = self._needs_resolve(commit)
+        df = self._read_buckets(commit, bucket_ids, schema, with_file=resolve)
         if resolve:
             df = self._resolve_lww(df)
-        df = df.filter(~F.col(_TOMBSTONE)).drop(_TOMBSTONE)
-        return df.filter(F.col(self.key).isin(keys))
+        return df.filter(~F.col(_TOMBSTONE)).drop(_TOMBSTONE)
+
+    def changes(self, from_version: int,
+                to_version: int | None = None) -> DataFrame:
+        """Change feed between two snapshots (Delta CDF / Iceberg changelog
+        analogue): one row per key whose state differs between
+        ``from_version`` and ``to_version`` (default: current), with
+        ``_change_type`` in ``insert`` / ``update_postimage`` / ``delete``.
+        Inserts and updates carry the post-image, deletes the pre-image.
+
+        Granularity is the version RANGE (net effect), not per-commit: a
+        key inserted and then deleted inside the range does not appear.
+
+        Scale shape: only buckets whose fragment lists differ between the
+        two manifests are read — a merge touching f% of buckets yields a
+        change scan over ~f% of the table per side, and the diff join
+        shuffles just those buckets' keys. Both snapshots must still exist
+        (not expired).
+        """
+        v2 = self.current_version() if to_version is None else to_version
+        if not 0 <= from_version <= v2:
+            raise ValueError(f"bad version range [{from_version}, {v2}]")
+        c1, c2 = self._read_commit(from_version), self._read_commit(v2)
+
+        def frags_of(c: dict, b: str) -> tuple:
+            return tuple(f["path"] for f in self._frags(c["buckets"][b]))
+
+        b1, b2 = set(c1["buckets"]), set(c2["buckets"])
+        unchanged = {b for b in b1 & b2 if frags_of(c1, b) == frags_of(c2, b)}
+        old_ids = sorted(int(b) for b in b1 - unchanged)
+        new_ids = sorted(int(b) for b in b2 - unchanged)
+
+        schema2 = T.StructType.fromJson(c2["schemas"][-1])
+        old = align_to_schema(self._bucket_state(c1, old_ids), schema2)
+        new = self._bucket_state(c2, new_ids)
+
+        cols = [f.name for f in schema2.fields]
+        payload = [c for c in cols if c != self.key]
+        o = old.select(F.col(self.key),
+                       *[F.col(c).alias(f"__o_{c}") for c in payload],
+                       F.lit(True).alias("__in_old"))
+        n = new.select(F.col(self.key),
+                       *[F.col(c).alias(f"__n_{c}") for c in payload],
+                       F.lit(True).alias("__in_new"))
+        j = o.join(n, self.key, "full_outer")
+        # alias struct fields back to the plain names — to_json serializes
+        # field NAMES, so prefixed sides would never compare equal
+        o_img = F.to_json(
+            F.struct(*[F.col(f"__o_{c}").alias(c) for c in payload])
+        )
+        n_img = F.to_json(
+            F.struct(*[F.col(f"__n_{c}").alias(c) for c in payload])
+        )
+        change = (
+            F.when(F.col("__in_old").isNull(), F.lit("insert"))
+            .when(F.col("__in_new").isNull(), F.lit("delete"))
+            .when(o_img != n_img, F.lit("update_postimage"))
+        )
+        j = j.withColumn("_change_type", change).filter(
+            F.col("_change_type").isNotNull()
+        )
+        out_cols = [
+            F.coalesce(F.col(f"__n_{c}"), F.col(f"__o_{c}")).alias(c)
+            for c in payload
+        ]
+        return j.select(self.key, *out_cols, "_change_type")
 
     def _read_groups(self, commit: dict, infos: list[dict],
                      schema: T.StructType, keep_tombstones: bool,
