@@ -352,6 +352,42 @@ class SnapshotTable:
         ]
         return j.select(self.key, *out_cols, "_change_type")
 
+    def sync_from(self, src: "SnapshotTable", since_version: int,
+                  batch_id: int | None = None, **merge_kwargs):
+        """Incrementally materialize this table from ``src``'s change feed
+        (downstream/derived-table maintenance): apply every net change in
+        ``src`` since ``since_version`` as one idempotent merge batch.
+
+        The feed is pruned to ``src``'s rewritten buckets (see
+        :meth:`changes`), so a sync after a merge touching f% of ``src``
+        costs ~f% of a full copy. ``batch_id`` defaults to ``src``'s
+        current version with the ``batch_id`` replay guard, so re-syncing
+        the same source version is a guarded no-op. An uninitialized
+        destination is bootstrapped with ``src``'s current schema.
+        Returns the :class:`MergeStats`, or ``None`` when the feed is
+        empty. The caller tracks ``since_version`` (e.g. the previous
+        sync's source version).
+        """
+        src_v = src.current_version()
+        feed = src.changes(since_version, src_v)
+        if self.current_version() < 0:
+            self.init_empty(
+                T.StructType.fromJson(src._read_commit(src_v)["schemas"][-1])
+            )
+        if not feed.limit(1).count():
+            return None
+        ev = (
+            feed.withColumn(
+                "op",
+                F.when(F.col("_change_type") == "delete", F.lit("delete"))
+                 .otherwise(F.lit("update")),
+            )
+            .drop("_change_type")
+        )
+        bid = src_v if batch_id is None else batch_id
+        merge_kwargs.setdefault("guard", "batch_id")
+        return self.merge_events(ev, batch_id=bid, **merge_kwargs)
+
     def _read_groups(self, commit: dict, infos: list[dict],
                      schema: T.StructType, keep_tombstones: bool,
                      with_file: bool = False) -> DataFrame:
