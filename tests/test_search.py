@@ -76,3 +76,47 @@ def test_bm25_rejects_empty_query(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     with pytest.raises(ValueError):
         bm25_topk(df, "!!! ???")
+
+
+def test_bm25_randomized_vs_reference(spark):
+    """Random corpora from a small vocabulary vs the pure-Python scorer —
+    one Spark job per query, full ranking compared."""
+    import random
+
+    from hyped_spark.operators.search import bm25_topk
+
+    rng = random.Random(7)
+    vocab = ["fast", "table", "scan", "merge", "slow", "row", "group",
+             "the", "a", "sort"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    for query in ("fast table", "merge", "slow sort scan"):
+        got = [(r.doc_id, r.score)
+               for r in bm25_topk(df, query, k=120).collect()]
+        exp_scores = _expected_for(docs, query.split())
+        exp = sorted(exp_scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert [i for i, _ in got] == [i for i, _ in exp], query
+        for (gi, gs), (ei, es) in zip(got, exp):
+            assert abs(gs - round(es, 6)) < 1e-6, (query, gi)
+
+
+def _expected_for(docs, query_terms, k1=1.2, b=0.75):
+    import math
+
+    toks = {i: t.split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for i, tk in toks.items():
+        s = 0.0
+        for q in query_terms:
+            tf = tk.count(q)
+            dfq = sum(1 for v in toks.values() if q in v)
+            idf = math.log((n - dfq + 0.5) / (dfq + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+        out[i] = s
+    return out

@@ -105,3 +105,41 @@ def test_sessionize_on_a_stream(spark, tmp_path):
     # bounded state: only the still-open 12:00 session of user 9 remains
     state = q.recentProgress[-1]["stateOperators"][0]
     assert state["numRowsTotal"] == 1, state
+
+
+def test_sessionize_randomized_vs_reference(spark):
+    """300 random user timelines in ONE job vs a Python reference
+    implementation of gap-splitting."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for uid in range(300):
+        t = 0
+        for _ in range(rng.randint(1, 12)):
+            t += rng.randint(0, 90)  # minutes; gaps straddle the 30-min gap
+            rows.append((uid, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=t)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    from hyped_spark.operators.joins import sessionize
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(df, "ts", "user_id", "30 minutes").collect()
+    )
+
+    # reference: sort each user's events, split where gap > 30 min
+    byuser = {}
+    for uid, ts in rows:
+        byuser.setdefault(uid, []).append(ts)
+    exp = []
+    for uid, tss in byuser.items():
+        tss.sort()
+        start, prev, n = tss[0], tss[0], 1
+        for ts in tss[1:]:
+            if (ts - prev).total_seconds() > 1800:
+                exp.append((uid, start, prev + dt.timedelta(minutes=30), n))
+                start, n = ts, 0
+            prev = ts
+            n += 1
+        exp.append((uid, start, prev + dt.timedelta(minutes=30), n))
+    assert got == sorted(exp)
