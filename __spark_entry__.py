@@ -788,6 +788,24 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "purchase_id", "click_id")
 
 
+def asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: for each purchase, the user's NEXT
+    click at ts >= purchase ts, nulled when more than 1 hour later."""
+    from hyped_spark.operators.joins import asof_join
+
+    e = _load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(purchases, clicks, on="ts", by="user_id",
+                    right_cols=["click_id"], direction="forward",
+                    tolerance="INTERVAL 1 HOUR")
+    return out.select("user_id", "purchase_id", "click_id")
+
+
 def range_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join (bucketized equi-join) on part-size ranges."""
     from hyped_spark.operators.joins import range_join
@@ -1032,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture_docs": source_mixture_docs,
         "quality_scores": quality_scores,
         "asof_join_events": asof_join_events,
+        "asof_forward_events": asof_forward_events,
         "range_join_parts": range_join_parts,
         "relex_mark_docs": relex_mark_docs,
     }
@@ -1377,6 +1396,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.user_id, p.purchase_id, c.click_id
             FROM purchases p
             ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "asof_forward_events": """
+            WITH purchases AS (
+                SELECT user_id, ts, event_id AS purchase_id FROM events
+                WHERE event_type = 'purchase'
+            ), clicks AS (
+                SELECT user_id, ts, event_id AS click_id FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT p.user_id, p.purchase_id,
+                   CASE WHEN c.ts - p.ts <= INTERVAL 1 HOUR
+                        THEN c.click_id END AS click_id
+            FROM purchases p
+            ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.ts
         """,
         "range_join_parts": """
             WITH a AS (

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "seq_val_hist",
     "disc_seq_val_hist",
     "asof_join_events",
+    "asof_forward_events",
     "range_join_parts",
     "hash_split_docs",
     "pack_sequences_docs",

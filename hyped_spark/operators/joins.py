@@ -27,9 +27,21 @@ def asof_join(
     by: str,
     right_cols: list[str] | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """For each left row: columns of the most recent right row per ``by``
-    with ``right.on <= left.on`` (NULLs when none). Exactly one shuffle."""
+    """For each left row: columns of the nearest right row per ``by`` —
+    ``direction="backward"``: most recent with ``right.on <= left.on``
+    (the default, pandas ``merge_asof`` semantics); ``"forward"``: earliest
+    with ``right.on >= left.on``. NULLs when none. Exactly one shuffle
+    either way (the union+window trick just flips the sort order).
+
+    ``tolerance``: optional SQL expression (e.g. ``"INTERVAL 1 HOUR"`` for
+    timestamps, ``"5"`` for numerics); a match farther than this from
+    ``left.on`` is nulled out — same output rows, bounded staleness.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
     lrow_t = left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
     rrow_t = right.select(F.struct(*right_cols).alias("s")).schema["s"].dataType
@@ -44,14 +56,31 @@ def asof_join(
         F.struct(*right_cols).alias("__rrow"),
     )
     unioned = l_tag.unionByName(r_tag)
-    # right rows sort before left rows at equal ts => right row AT left.ts matches
+    # right rows sort before left rows at equal ts => right row AT left.ts
+    # matches (inclusive bound, both directions)
+    order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .orderBy(order, F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = unioned.withColumn("__last_r", F.last("__rrow", ignorenulls=True).over(w))
+    carried = unioned.withColumn(
+        "__last_r", F.last("__rrow", ignorenulls=True).over(w)
+    )
+    if tolerance is not None:
+        carried = carried.withColumn(
+            "__r_on",
+            F.last(F.when(F.col("__is_left") == 0, F.col(on)),
+                   ignorenulls=True).over(w),
+        )
     out = carried.filter(F.col("__is_left") == 1)
+    if tolerance is not None:
+        delta = (F.col(on) - F.col("__r_on") if direction == "backward"
+                 else F.col("__r_on") - F.col(on))
+        out = out.withColumn(
+            "__last_r",
+            F.when(delta <= F.expr(tolerance), F.col("__last_r")),
+        )
     lcols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
     rcols = [
         F.col(f"__last_r.{c}").alias(c + suffix if c in left.columns else c)
