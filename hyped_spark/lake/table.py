@@ -496,6 +496,45 @@ class SnapshotTable:
                 pass
         return removed
 
+    def vacuum(self, grace_seconds: float = 0.0) -> int:
+        """Remove ORPHANED data directories — written by a crashed or lost
+        merge but never committed (the atomic-commit protocol makes these
+        harmless garbage) — while keeping every directory referenced by ANY
+        live snapshot, so time travel is unaffected (unlike
+        :meth:`expire_snapshots`, which trades history for space).
+
+        ``grace_seconds`` skips directories modified more recently than
+        this — the safety margin for a concurrent writer mid-write (the
+        single-WRITER protocol makes 0 safe when the caller owns the
+        writer). Returns the number of directories removed.
+        """
+        import shutil
+        import time
+
+        cur = self.current_version()
+        referenced: set[str] = set()
+        for v in range(0, cur + 1):
+            try:
+                c = self._read_commit(v)
+            except FileNotFoundError:  # expired snapshot
+                continue
+            for info in c["buckets"].values():
+                for frag in self._frags(info):
+                    referenced.add(frag["path"].split(os.sep + "__bucket=")[0])
+        data_root = os.path.join(self.path, _DATA_DIR)
+        now = time.time()
+        removed = 0
+        for d in sorted(os.listdir(data_root)):
+            rel = os.path.join(_DATA_DIR, d)
+            full = os.path.join(data_root, d)
+            if rel in referenced:
+                continue
+            if now - os.path.getmtime(full) < grace_seconds:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            removed += 1
+        return removed
+
     def rollback(self, to_version: int) -> int:
         """Roll the table back to an earlier snapshot (≙ Iceberg
         rollback_to_snapshot): commits a NEW version whose manifest and

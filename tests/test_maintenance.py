@@ -118,3 +118,39 @@ def test_compact_preserves_committed_buckets_and_rebuckets_on_request(spark, tmp
     stats = eng2.replay(binlog(spark, 1000, 60))
     assert any(not s.skipped_replay for s in stats)
     assert eng2.table.current_commit()["n_buckets"] == 8
+
+
+def test_vacuum_removes_orphans_keeps_history(spark, tmp_path):
+    """vacuum() deletes only never-committed data dirs (crashed merges);
+    every live snapshot — including old ones — still reads."""
+    import time
+
+    from hyped_spark.plans.replay import ReplayConfig, ReplayEngine
+
+    eng = ReplayEngine(
+        spark,
+        ReplayConfig(table_path=str(tmp_path / "t"),
+                     metrics_path=str(tmp_path / "m"),
+                     batch_lsns=300, n_buckets=4, n_salt=2),
+    )
+    eng.replay(binlog(spark, 900, 80))
+    t = eng.table
+    states = {v: t.read(version=v).count() for v in range(1, t.current_version() + 1)}
+
+    # simulate a crashed merge: a data dir that no commit references
+    orphan = tmp_path / "t" / "data" / "snap9999999999"
+    (orphan / "__bucket=0").mkdir(parents=True)
+    (orphan / "__bucket=0" / "junk.parquet").write_bytes(b"not parquet")
+
+    # grace period protects a freshly written (possibly in-flight) dir
+    assert t.vacuum(grace_seconds=3600) == 0
+    assert orphan.exists()
+
+    time.sleep(0.01)
+    assert t.vacuum() == 1
+    assert not orphan.exists()
+    assert t.vacuum() == 0  # idempotent
+
+    # full time travel still works after the vacuum
+    for v, n in states.items():
+        assert t.read(version=v).count() == n, v
