@@ -265,6 +265,15 @@ def main() -> None:
          and "BatchEvalPython" not in p),
     ]))
 
+    # 22. as-of join, both directions: the union+window trick is ONE
+    # exchange and never a join operator — direction only flips the sort
+    for name in ("asof_join_events", "asof_forward_events"):
+        p = plan_of(q[name](spark, SF))
+        sections.append((f"{name} (union+window as-of, one exchange)", p, [
+            ("single exchange", len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+            ("no join operator", "Join" not in p),
+        ]))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)\n"]
     all_ok = True
     for title, plan, checks in sections:
