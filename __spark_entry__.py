@@ -989,6 +989,109 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repair_json_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RepairJsonParser analogue (R2): lenient parse of malformed JSON
+    (reference src/hyped/data/processors/parsers/repair_json.py:18-86).
+
+    Three deterministic malformation variants are synthesized per order row
+    (valid / single-quoted+trailing-comma / unbalanced-bracket); the repair
+    UDF must return a canonical fixed string and the typed re-parse must
+    recover both fields. The oracle replays the repair rules on the same
+    literals with regexp_replace + bracket append, then json-extracts."""
+    from hyped_spark.functions.json_tools import repair_json
+
+    o = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("string")
+    s = F.col("o_orderstatus")
+    valid = F.concat(F.lit('{"k": '), k, F.lit(', "s": "'), s, F.lit('"}'))
+    quoted = F.concat(F.lit("{'k': "), k, F.lit(", 's': '"), s, F.lit("',}"))
+    unbal = F.concat(F.lit('{"k": '), k, F.lit(', "s": "'), s, F.lit('"'))
+    raw = (
+        F.when(F.col("o_orderkey") % 3 == 0, valid)
+        .when(F.col("o_orderkey") % 3 == 1, quoted)
+        .otherwise(unbal)
+    )
+    fixed = o.select("o_orderkey", repair_json(raw).alias("fixed_json"))
+    parsed = F.from_json(F.col("fixed_json"), "k BIGINT, s STRING")
+    return fixed.select(
+        "o_orderkey",
+        "fixed_json",
+        parsed["k"].alias("k"),
+        parsed["s"].alias("s"),
+    )
+
+
+def render_template_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jinja2-template-processor analogue (R7): per-row template rendering
+    (reference src/hyped/data/processors/templates/jinja2.py:83-279).
+
+    Exercises BOTH engine paths: a plain ``{col}`` template compiles to
+    native ``format_string`` (whole-stage codegen, zero Python), and a
+    format-spec template (``{doc_id:06d}``) takes the Arrow pandas-UDF
+    path. Field discovery (required_fields) prunes the scan to the
+    referenced columns."""
+    from hyped_spark.functions.templates import render_template_col
+
+    d = _load(spark, sf_dir, "documents")
+    out = render_template_col(
+        d, "[{lang}] doc {doc_id} from {source}: {text}", "rendered"
+    )
+    out = render_template_col(out, "{source}#{doc_id:06d}", "tag")
+    return out.select("doc_id", "rendered", "tag")
+
+
+def token_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-algebra round-trip (V3+V4+V6): subword→word boundary spans from
+    monotone word_ids, query value-spans mapped to covering index-spans,
+    then applied back (widening to word boundaries).
+
+    Composition mirrors reference spans/from_word_ids.py:18-134 →
+    spans/idx_spans.py:22-210 → spans/apply_idx_spans.py:23-201. Each doc
+    gets word_ids = token_index // 2 (two subwords per word) and two query
+    spans: tokens [1,3) — which must widen to whole words — and the full
+    range [0,n). Pure integer math, fully replayed by DuckDB list lambdas."""
+    from hyped_spark.functions.hashing import tokens_col
+    from hyped_spark.operators.spans import (
+        apply_idx_spans_udf,
+        covered_idx_spans_udf,
+        spans_from_word_ids_udf,
+    )
+
+    d = _load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_col(F.col("text")).alias("t")).filter(
+        F.size("t") >= 4
+    )
+    wid = toks.select(
+        "doc_id",
+        F.size("t").alias("n"),
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 1),
+            lambda i: F.floor(i / 2).cast("int"),
+        ).alias("word_ids"),
+    )
+    sp = wid.withColumn("w", spans_from_word_ids_udf("word_ids")).select(
+        "doc_id",
+        "n",
+        F.col("w.begins").alias("sb"),
+        F.col("w.ends").alias("se"),
+        F.array(F.lit(1), F.lit(0)).alias("qb"),
+        F.array(F.lit(3), F.col("n")).cast("array<int>").alias("qe"),
+    )
+    ix = sp.withColumn("ix", covered_idx_spans_udf("qb", "qe", "sb", "se"))
+    out = ix.withColumn(
+        "v", apply_idx_spans_udf(F.col("ix.begins"), F.col("ix.ends"), "sb", "se")
+    )
+    return out.select(
+        "doc_id",
+        F.col("sb").cast("array<bigint>").alias("sb"),
+        F.col("se").cast("array<bigint>").alias("se"),
+        F.col("ix.begins").cast("array<bigint>").alias("idx_b"),
+        F.col("ix.ends").cast("array<bigint>").alias("idx_e"),
+        F.col("v.begins").cast("array<bigint>").alias("val_b"),
+        F.col("v.ends").cast("array<bigint>").alias("val_e"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1053,6 +1156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward_events": asof_forward_events,
         "range_join_parts": range_join_parts,
         "relex_mark_docs": relex_mark_docs,
+        "repair_json_docs": repair_json_docs,
+        "render_template_docs": render_template_docs,
+        "token_spans_docs": token_spans_docs,
     }
 
 
@@ -1461,6 +1567,75 @@ def oracle_sql() -> dict[str, str]:
                    , ' ') AS marked
             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
             WHERE len(t) >= 9
+        """,
+        # replays the repair rules (single→double quotes, trailing comma,
+        # bracket close) on the SAME synthesized literals, then extracts
+        "repair_json_docs": r"""
+            WITH raw AS (
+                SELECT o_orderkey,
+                    CASE CAST(o_orderkey % 3 AS INTEGER)
+                        WHEN 0 THEN '{"k": ' || o_orderkey || ', "s": "'
+                                    || o_orderstatus || '"}'
+                        WHEN 1 THEN '{''k'': ' || o_orderkey || ', ''s'': '''
+                                    || o_orderstatus || ''',}'
+                        ELSE '{"k": ' || o_orderkey || ', "s": "'
+                             || o_orderstatus || '"'
+                    END AS j
+                FROM orders
+            ), rq AS (
+                SELECT o_orderkey, j,
+                       regexp_replace(
+                           regexp_replace(j, '''([^'']*)''', '"\1"', 'g'),
+                           ',\s*([}\]])', '\1', 'g') AS jq
+                FROM raw
+            ), rep AS (
+                SELECT o_orderkey,
+                       CASE WHEN json_valid(j) THEN j
+                            WHEN json_valid(jq) THEN jq
+                            ELSE jq || '}' END AS fixed_json
+                FROM rq
+            )
+            SELECT o_orderkey, fixed_json,
+                   CAST(fixed_json->>'$.k' AS BIGINT) AS k,
+                   fixed_json->>'$.s' AS s
+            FROM rep
+        """,
+        "render_template_docs": """
+            SELECT doc_id,
+                   '[' || lang || '] doc ' || doc_id || ' from ' || source
+                       || ': ' || text AS rendered,
+                   source || '#' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS tag
+            FROM documents
+        """,
+        # word spans from word_ids = idx // 2; covered index spans via
+        # searchsorted-as-count; apply = (sb[i], se[j-1]) — 1-indexed lists
+        "token_spans_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS t
+                FROM documents
+            ), base AS (
+                SELECT doc_id, len(t) AS n,
+                       CAST(ceil(len(t) / 2.0) AS BIGINT) AS nw
+                FROM toks WHERE len(t) >= 4
+            ), sp AS (
+                SELECT doc_id, n,
+                       list_transform(range(nw), i -> 2 * i) AS sb,
+                       list_transform(range(nw), i -> least(2 * i + 2, n)) AS se
+                FROM base
+            ), ix AS (
+                SELECT doc_id, n, sb, se,
+                       [len(list_filter(se, x -> x <= 1)),
+                        len(list_filter(se, x -> x <= 0))] AS idx_b,
+                       [len(list_filter(sb, x -> x < 3)),
+                        len(list_filter(sb, x -> x < n))] AS idx_e
+                FROM sp
+            )
+            SELECT doc_id, sb, se, idx_b, idx_e,
+                   [sb[idx_b[1] + 1], sb[idx_b[2] + 1]] AS val_b,
+                   [se[idx_e[1]], se[idx_e[2]]] AS val_e
+            FROM ix
         """,
     }
 

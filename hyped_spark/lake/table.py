@@ -496,7 +496,7 @@ class SnapshotTable:
                 pass
         return removed
 
-    def vacuum(self, grace_seconds: float = 0.0) -> int:
+    def vacuum(self, grace_seconds: float = 3600.0) -> int:
         """Remove ORPHANED data directories — written by a crashed or lost
         merge but never committed (the atomic-commit protocol makes these
         harmless garbage) — while keeping every directory referenced by ANY
@@ -504,9 +504,11 @@ class SnapshotTable:
         :meth:`expire_snapshots`, which trades history for space).
 
         ``grace_seconds`` skips directories modified more recently than
-        this — the safety margin for a concurrent writer mid-write (the
-        single-WRITER protocol makes 0 safe when the caller owns the
-        writer). Returns the number of directories removed.
+        this — the safety margin for a concurrent writer mid-write. The
+        default (1 h) is safe even with a concurrent merge in flight;
+        pass 0 explicitly only when the caller owns the single writer and
+        knows no merge is running. Returns the number of directories
+        removed.
         """
         import shutil
         import time

@@ -413,10 +413,25 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
+    max_rows: int = 20_000,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard (no LSH) — the small-data oracle for
-    minhash_lsh_pairs and a correctness baseline. O(n²): only for modest n;
-    the scale path is minhash_lsh_pairs."""
+    minhash_lsh_pairs and a correctness baseline. O(n²) crossJoin BY
+    DESIGN: it exists to verify the LSH path on modest corpora, never to
+    run at scale. A row-count guard (``max_rows``, default 20k ≈ 400M
+    candidate pairs) raises before the crossJoin can be launched on a real
+    corpus and names :func:`minhash_lsh_pairs` as the scale path; pass
+    ``max_rows=0`` to disable (oracle/test use only)."""
+    if max_rows:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs is an exact O(n²) all-pairs "
+                f"baseline and refuses {n} rows (> max_rows={max_rows}, "
+                f"~{n * (n - 1) // 2:,} candidate pairs). Use "
+                f"minhash_lsh_pairs for corpora of this size, or pass "
+                f"max_rows=0 to override for oracle verification."
+            )
     base = with_shingles(
         spread(df.select(F.col(id_col), F.col(text_col))), text_col, shingle_n
     ).select(F.col(id_col).alias("id"), "__shingles")

@@ -77,7 +77,12 @@ def fit_unigram_lm(
         "tok",
         F.round(F.log((F.col("c") + F.lit(alpha)) / F.lit(denom)), 8)
          .alias("logp"),
-    )
+    # vocab is vocabulary-sized: pin IT and release the counts checkpoint
+    # now, so repeated fits (e.g. a per-increment --max-ppl gate) don't
+    # accumulate block-storage while ContextCleaner dawdles
+    ).localCheckpoint(eager=True)
+    from hyped_spark.operators.dedup import _release_local_checkpoint
+    _release_local_checkpoint(counts)
     unk_logp = round(math.log(alpha / denom), 8)
     return UnigramLM(vocab, unk_logp, total, n_types)
 

@@ -115,6 +115,10 @@ def main() -> None:
     counts["after_exact_dedup"] = d.count()
 
     idx_path = os.path.join(args.out, "dedup_index")
+    # crash recovery: a leftover .old with no live index means a previous
+    # run died between the two renames of the swap below — roll back
+    if os.path.isdir(idx_path + ".old") and not os.path.isdir(idx_path):
+        os.rename(idx_path + ".old", idx_path)
     if args.incremental and os.path.isdir(idx_path):
         # delta mode: the stored representative index carries the state;
         # the existing corpus is never re-read or re-sketched
@@ -129,9 +133,15 @@ def main() -> None:
         counts["after_minhash_dedup"] = d.count()
         tmp = idx_path + ".next"
         updated.write.mode("overwrite").parquet(tmp)  # updated reads idx_path
+        # crash-safe swap: rename old aside, promote new, THEN delete —
+        # a death at any point leaves either the old or the new index
+        # recoverable (see the .old rollback at startup)
         import shutil
-        shutil.rmtree(idx_path)
+        old = idx_path + ".old"
+        shutil.rmtree(old, ignore_errors=True)  # stale from a prior crash
+        os.rename(idx_path, old)
         os.rename(tmp, idx_path)
+        shutil.rmtree(old)
         # the session FileStatusCache still holds the old part-file listing
         # for this path — invalidate before anyone re-reads it
         spark.catalog.refreshByPath(idx_path)

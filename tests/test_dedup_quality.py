@@ -674,3 +674,19 @@ def test_ivf_sq_index_roundtrip_search(spark, tmp_path):
     # the artifact is codes-only: no full-precision embedding column
     assert set(stored.columns) == {"vec_id", "__cell", "__cq", "__cn"}
     assert dict(stored.dtypes)["__cq"] == "array<smallint>"
+
+
+def test_ngram_jaccard_refuses_large_corpus(spark):
+    """The exact O(n²) all-pairs baseline must refuse real-corpus row counts
+    (naming the LSH scale path), with an explicit override for oracle use."""
+    import pytest
+
+    from hyped_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _docs(spark)
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(d, max_rows=100)
+    # override for small-data oracle verification still works
+    assert ngram_jaccard_pairs(d.limit(150), max_rows=0).columns == [
+        "id_a", "id_b", "jaccard"
+    ]

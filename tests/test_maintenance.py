@@ -142,14 +142,15 @@ def test_vacuum_removes_orphans_keeps_history(spark, tmp_path):
     (orphan / "__bucket=0").mkdir(parents=True)
     (orphan / "__bucket=0" / "junk.parquet").write_bytes(b"not parquet")
 
-    # grace period protects a freshly written (possibly in-flight) dir
-    assert t.vacuum(grace_seconds=3600) == 0
+    # the DEFAULT grace period (1 h) protects a freshly written
+    # (possibly in-flight) dir — deleting needs an explicit opt-in
+    assert t.vacuum() == 0
     assert orphan.exists()
 
     time.sleep(0.01)
-    assert t.vacuum() == 1
+    assert t.vacuum(grace_seconds=0) == 1
     assert not orphan.exists()
-    assert t.vacuum() == 0  # idempotent
+    assert t.vacuum(grace_seconds=0) == 0  # idempotent
 
     # full time travel still works after the vacuum
     for v, n in states.items():
