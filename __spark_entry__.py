@@ -19,6 +19,8 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1092,6 +1094,41 @@ def token_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def image_decode_real_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under oracle: per-doc PNG blobs are encoded from
+    closed-form pixel content (gray half-bright split), then decoded by the
+    default fake=False path — stdlib IHDR parse + zlib inflate + unfilter +
+    Rec.601 luma + 8×8 average-hash. Every output is derivable from doc_id
+    alone, so the oracle needs no codec: width/height are the generating
+    params, mean luma ×510 collapses to the integer a+b (left+right gray
+    levels), and the average-hash of a half-bright image is the fixed
+    right-four-columns bit pattern 0x0F0F0F0F0F0F0F0F."""
+    from hyped_spark.functions.multimodal import decode_image_features, encode_png
+
+    @F.pandas_udf("binary")
+    def make_png(ids: pd.Series) -> pd.Series:  # pragma: no cover (executor)
+        out = []
+        for i in ids:
+            i = int(i)
+            w = 8 + (i % 8) * 2
+            h = 8 + (i % 5) * 2
+            img = np.full((h, w, 1), i % 200, dtype=np.uint8)
+            img[:, w // 2:] = 255 - (i % 50)
+            out.append(encode_png(img))
+        return pd.Series(out)
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    imgs = d.select("doc_id", make_png("doc_id").alias("image"))
+    feats = decode_image_features(imgs, "image", "img", fake=False)
+    return feats.select(
+        "doc_id",
+        F.col("img.width").cast("bigint").alias("width"),
+        F.col("img.height").cast("bigint").alias("height"),
+        F.round(F.col("img.mean_luma") * 510).cast("bigint").alias("luma_x510"),
+        F.col("img.phash").alias("phash"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1159,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repair_json_docs": repair_json_docs,
         "render_template_docs": render_template_docs,
         "token_spans_docs": token_spans_docs,
+        "image_decode_real_docs": image_decode_real_docs,
     }
 
 
@@ -1636,6 +1674,17 @@ def oracle_sql() -> dict[str, str]:
                    [sb[idx_b[1] + 1], sb[idx_b[2] + 1]] AS val_b,
                    [se[idx_e[1]], se[idx_e[2]]] AS val_e
             FROM ix
+        """,
+        # every feature is a closed form of the generating params (see the
+        # query docstring); 1085102592571150095 = 0x0F0F0F0F0F0F0F0F, the
+        # average-hash of any even-width half-bright image
+        "image_decode_real_docs": """
+            SELECT doc_id,
+                   8 + (doc_id % 8) * 2 AS width,
+                   8 + (doc_id % 5) * 2 AS height,
+                   (doc_id % 200) + 255 - (doc_id % 50) AS luma_x510,
+                   1085102592571150095 AS phash
+            FROM documents
         """,
     }
 
