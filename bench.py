@@ -74,6 +74,13 @@ BENCH_QUERIES = [
     "lm_perplexity_docs",
     "image_features_docs",
     "pivot_order_status",
+    # round 5 additions: repair-JSON parse (Arrow UDF), template render
+    # (format_string fast path + UDF path), span-algebra round-trip, real
+    # stdlib PNG decode (encode + inflate + unfilter + ahash per row)
+    "repair_json_docs",
+    "render_template_docs",
+    "token_spans_docs",
+    "image_decode_real_docs",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)
@@ -123,8 +130,14 @@ def main() -> None:
     # md5 entries above remain the oracle-checked contract queries)
     from hyped_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
 
+    # selective-query BM25 with the term-presence prefilter: 'dup' hits
+    # ~5% of the synthetic corpus, so the scoring/top-k input shrinks 20×
+    # (identical ranking — verified in tests/test_search.py)
+    from hyped_spark.operators.search import bm25_topk
+
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     for name, df in [
+        ("bm25_search_pruned", bm25_topk(docs, "dup", k=20, prune=True)),
         ("minhash_pairs_scale", minhash_lsh_pairs(docs, min_jaccard=0.5)),
         ("simhash_pairs_scale", simhash_pairs(docs)),
     ]:

@@ -48,11 +48,21 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    prune: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents for ``query`` under Okapi BM25 (Lucene idf:
     ``ln((N - df + 0.5) / (df + 0.5) + 1)``; ties broken by ascending id).
 
     Output: ``(id_col, score)`` with score rounded to 6 dp.
+
+    ``prune=True`` adds a term-presence prefilter on the scoring pass:
+    documents containing none of the query terms are dropped BEFORE the
+    broadcast-stats join and score projection (Catalyst pushes the
+    predicate below both), so a selective query scores only its candidate
+    set instead of the whole corpus. Corpus statistics (N, avgdl, df) are
+    still computed over the FULL corpus, so surviving documents score
+    identically to ``prune=False``; the only difference is that zero-score
+    documents can no longer pad the tail when fewer than ``k`` match.
     """
     terms = tokenize_query(query)
     if not terms:
@@ -78,6 +88,12 @@ def bm25_topk(
             for i in range(len(terms))
         ],
     )
+
+    if prune:
+        hit = F.col("__tf0") > 0
+        for i in range(1, len(terms)):
+            hit = hit | (F.col(f"__tf{i}") > 0)
+        base = base.filter(hit)
 
     scored = base.crossJoin(F.broadcast(stats))
     n, avgdl = F.col("__n"), F.col("__avgdl")

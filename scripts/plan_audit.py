@@ -274,6 +274,62 @@ def main() -> None:
             ("no join operator", "Join" not in p),
         ]))
 
+    # 23. BM25 with the term-presence prefilter: the tf>0 predicate must
+    # drop non-matching docs BELOW the broadcast-stats join (so a selective
+    # query scores only its candidate set), without introducing a shuffle
+    from hyped_spark.operators.search import bm25_topk
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    p = plan_of(bm25_topk(docs, "dup merge", k=10, prune=True))
+    join_at = p.find("BroadcastNestedLoopJoin")
+    filt_at = p.find("Filter")
+    sections.append(("bm25_topk(prune=True) (term prefilter under the stats join)", p, [
+        ("prefilter sits below the broadcast stats join (candidates drop "
+         "before scoring)", 0 <= join_at < filt_at),
+        ("corpus still never shuffle-joined", "SortMergeJoin" not in p
+         and "ShuffledHashJoin" not in p),
+        ("top-k still TakeOrdered", "TakeOrderedAndProject" in p),
+    ]))
+
+    # 24. span-algebra round-trip: three chained Arrow UDF stages over a
+    # projection — map-only, zero exchange, no row-at-a-time Python
+    p = plan_of(q["token_spans_docs"](spark, SF))
+    sections.append(("token_spans_docs (chained Arrow span kernels, map-only)", p, [
+        ("no exchange at all", len(re.findall(r"\(\d+\) Exchange", p)) == 0),
+        ("span kernels are Arrow-vectorized", "ArrowEvalPython" in p),
+        ("no row-at-a-time Python", "BatchEvalPython" not in p),
+    ]))
+
+    # 25. repair-json: exactly ONE Arrow UDF evaluation feeds both the
+    # fixed string and the typed re-parse (no duplicated repair pass)
+    p = plan_of(q["repair_json_docs"](spark, SF))
+    sections.append(("repair_json_docs (single Arrow repair pass)", p, [
+        ("no exchange (map-only)", len(re.findall(r"\(\d+\) Exchange", p)) == 0),
+        ("exactly one Arrow eval stage",
+         len(set(re.findall(r"\((\d+)\) ArrowEvalPython", p))) == 1),
+    ]))
+
+    # 26. template render: the plain template compiles to native
+    # format_string; only the format-spec template pays an Arrow stage
+    p = plan_of(q["render_template_docs"](spark, SF))
+    sections.append(("render_template_docs (native fast path + one Arrow stage)", p, [
+        ("no exchange (map-only)", len(re.findall(r"\(\d+\) Exchange", p)) == 0),
+        ("plain template stays native (format_string in plan)",
+         "format_string" in p),
+        ("only the format-spec template uses Arrow",
+         len(set(re.findall(r"\((\d+)\) ArrowEvalPython", p))) == 1),
+    ]))
+
+    # 27. real PNG decode: encode + decode are two map-only Arrow stages;
+    # blobs never shuffle
+    p = plan_of(q["image_decode_real_docs"](spark, SF))
+    sections.append(("image_decode_real_docs (stdlib codec, map-only)", p, [
+        ("no exchange — blobs never shuffle",
+         len(re.findall(r"\(\d+\) Exchange", p)) == 0),
+        ("Arrow-vectorized decode (mapInPandas)", "MapInPandas" in p
+         or "ArrowEvalPython" in p),
+    ]))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)\n"]
     all_ok = True
     for title, plan, checks in sections:

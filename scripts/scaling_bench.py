@@ -10,7 +10,9 @@ measures steady state instead of tmpfs fill. Each rep warms up (JVM codegen
 
     python scripts/scaling_bench.py [--n 1] [--events 4000000] [--reps 3]
 
-Writes results to BENCH/BASELINE.md and prints a JSON summary.
+APPENDS a timestamped results section to BENCH/BASELINE.md (never
+truncates — two consecutive runs both survive in git diff) and prints a
+JSON summary.
 The sandbox substitute for the north rule's N→4N executor criterion:
 efficiency = eps(4N) / (4 × eps(N)).
 """
@@ -139,23 +141,31 @@ def main() -> None:
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     import pyspark
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH/BASELINE — measured engine numbers
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # APPEND-ONLY protocol: each run adds a timestamped section and never
+    # truncates previous results (earlier versions overwrote the file and
+    # silently destroyed the appended run history — twice)
+    import time as _time
+    stamp = _time.strftime("%Y-%m-%d %H:%M:%S", _time.localtime())
+    header_needed = not os.path.exists(out_path)
+    with open(out_path, "a") as f:
+        if header_needed:
+            f.write("# BENCH/BASELINE — measured engine numbers\n")
+        f.write(f"""
+---
 
-## Scaling efficiency (north-rule criterion, sandbox protocol)
+## Scaling run — {stamp}
 
-Identical CDC merge-apply job (LSN-chunked replay of a deterministic
-{args.events:,}-event binlog over {args.urls:,} urls: window-rank LWW dedup
-+ vectorized text extraction + bucketed copy-on-write merge) on identical
-input at two parallelism levels. Fresh JVM AND fresh tmpfs scratch dir per
-repetition (a shared scratch dir accumulated shuffle files and degraded
-later reps up to 45% — per-rep isolation measures steady state); per-rep
-warmup replay discarded; median of {args.reps} reps. Each level is pinned
-(taskset) to exactly N host CPUs so JVM GC, shuffle IO, and Python UDF
-workers share the same N cores they would own on an N-core executor —
-unpinned, local[1] borrows idle host cores for GC/Python (resources a
-1-core executor does not have), inflating eps(N) and understating the
-efficiency a real cluster would show.
+Protocol (see script docstring for rationale): identical CDC merge-apply
+job (LSN-chunked replay of a deterministic {args.events:,}-event binlog
+over {args.urls:,} urls: window-rank LWW dedup + vectorized text
+extraction + bucketed copy-on-write merge) on identical input at two
+parallelism levels; fresh JVM + fresh tmpfs scratch per repetition;
+per-rep warmup replay discarded; median of {args.reps} reps; each level
+taskset-pinned to exactly N host CPUs. Spark {pyspark.__version__};
+shuffle partitions = cores; AQE on; table buckets = {args.buckets}
+(fixed across levels); salt fan-out 8; batch size {args.batch_lsns:,}
+LSNs; host: 32 cores, 125 GiB RAM.
 
 | level | cores | median sec | median events/sec |
 |---|---|---|---|
@@ -169,30 +179,6 @@ All repetitions (sec, events/sec):
 
 - local[{args.n}]: {[(round(r["sec"], 2), round(r["eps"], 1)) for r in lo]}
 - local[{args.n * 4}]: {[(round(r["sec"], 2), round(r["eps"], 1)) for r in hi]}
-
-## Environment
-
-- Spark {pyspark.__version__}, local mode (single JVM, N executor threads)
-- shuffle partitions = cores; AQE on; Arrow pandas UDFs for extraction
-- table buckets = {args.buckets} (fixed across levels); salt fan-out 8; batch size {args.batch_lsns:,} LSNs
-- host: 32 cores, 125 GiB RAM
-
-## Extrapolation to 10^10 events (documented method)
-
-The replay loop cost is per-batch fixed overhead (snapshot commit, bucket
-manifest, 2 Spark jobs: a <=n_buckets-group meta aggregate and the single
-merge/write job carrying the Observation lineage side-output) + per-event
-work (UDF extraction, shuffle, parquet IO). At 10^10 events with batches of
-10^8 LSNs the fixed overhead amortizes to noise; per-event cost scales with
-executors because every stage (scan, dedup window, bucket rewrite) is key-
-or range-partitioned with no driver-side data movement (collects are
-metadata-only: per-bucket counts). One sandbox caveat the cluster does not
-share: all N local threads compete for ONE machine's memory bandwidth
-(shuffle + Arrow + parquet encode are bandwidth-hungry), so the measured
-efficiency UNDERSTATES multi-node scaling, where each executor brings its
-own memory channels. The measured single-node events/sec x executor count,
-derated by the measured scaling efficiency, is the projected cluster
-throughput.
 """)
 
 

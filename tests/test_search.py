@@ -120,3 +120,48 @@ def _expected_for(docs, query_terms, k1=1.2, b=0.75):
             s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
         out[i] = s
     return out
+
+
+def test_bm25_prune_identical_topk_and_plan(spark):
+    """prune=True: identical ranking and scores for every surviving doc,
+    and the term-presence filter sits BELOW the broadcast stats join in
+    the physical plan (candidate rows are dropped before scoring)."""
+    import random
+
+    from hyped_spark.operators.search import bm25_topk
+
+    rng = random.Random(11)
+    vocab = ["fast", "table", "scan", "merge", "slow", "row", "group",
+             "the", "a", "sort"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    for query in ("merge sort", "slow", "fast table scan"):
+        full = [(r.doc_id, r.score)
+                for r in bm25_topk(df, query, k=15).collect()]
+        pruned = [(r.doc_id, r.score)
+                  for r in bm25_topk(df, query, k=15, prune=True).collect()]
+        assert pruned == full, query
+
+    q = bm25_topk(df, "merge sort", k=15, prune=True)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # filter on the tf columns must appear below the BroadcastNestedLoopJoin
+    join_at = plan.index("BroadcastNestedLoopJoin")
+    filt_at = plan.index("Filter")
+    assert filt_at > join_at, "prefilter not below the stats join"
+    assert "__tf0" in plan[filt_at:], "prefilter lost the term predicate"
+
+
+def test_bm25_prune_drops_only_zero_score_tail(spark):
+    from hyped_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    # only doc 2 contains 'merge'; unpruned pads with zero-score docs
+    full = bm25_topk(df, "merge", k=4).collect()
+    pruned = bm25_topk(df, "merge", k=4, prune=True).collect()
+    assert [r.doc_id for r in pruned] == [2]
+    assert full[0].doc_id == 2 and full[0].score == pruned[0].score
+    assert all(r.score == 0.0 for r in full[1:])
