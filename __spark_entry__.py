@@ -914,6 +914,20 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, "fast table scan merge", k=20)
 
 
+def bm25_indexed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the build-once inverted index (term-sorted postings with
+    denormalized doc lengths): search touches only the query's postings —
+    term-pruned scan → pivot-back-to-columns → the SAME fixed-order score
+    expression as bm25_topk, so results equal the ad-hoc scorer exactly
+    (tested in test_search.py; driver-oracled here against the pruned
+    full-scan SQL twin)."""
+    from hyped_spark.operators.search import bm25_index_search, build_bm25_index
+
+    d = _load(spark, sf_dir, "documents")
+    postings, meta = build_bm25_index(d)
+    return bm25_index_search(postings, meta, "fast table scan merge", k=20)
+
+
 def lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring: fit an add-alpha unigram model on
     the corpus (top-20 vocabulary head — the tail is genuinely OOV here)
@@ -1184,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "c4_clean_docs": c4_clean_docs,
         "bm25_search_docs": bm25_search_docs,
+        "bm25_indexed_docs": bm25_indexed_docs,
         "lm_perplexity_docs": lm_perplexity_docs,
         "image_features_docs": image_features_docs,
         "pivot_order_status": pivot_order_status,
@@ -1410,6 +1425,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "c4_clean_docs": _c4_clean_oracle(),
         "bm25_search_docs": _bm25_oracle(),
+        "bm25_indexed_docs": _bm25_oracle(prune=True),
         "lm_perplexity_docs": _lm_oracle(vocab_size=20, alpha=0.5),
         # replays the sha256-derived fake codec byte-for-byte: d[0],d[1]
         # are hex chars 1-4, d[2] chars 5-6, phash = bytes 3..11 = chars
@@ -2412,10 +2428,10 @@ def _lm_oracle(vocab_size: int = 20, alpha: float = 0.5) -> str:
     """
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(prune: bool = False) -> str:
     from hyped_spark.operators.search import bm25_oracle_sql
 
-    return bm25_oracle_sql("fast table scan merge", k=20)
+    return bm25_oracle_sql("fast table scan merge", k=20, prune=prune)
 
 
 def _c4_clean_oracle() -> str:

@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "render_template_docs",
     "token_spans_docs",
     "image_decode_real_docs",
+    # inverted-index BM25: build + search in one timed query (the search
+    # alone over a stored index is the bm25_search_pruned shape below)
+    "bm25_indexed_docs",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

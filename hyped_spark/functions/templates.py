@@ -75,13 +75,15 @@ def render_template_col(df: DataFrame, template: str, out: str,
                     ordered.append(name)
             return df.withColumn(out, F.format_string(fmt, *[F.col(c) for c in ordered]))
 
-    if engine == "jinja2":  # pragma: no cover - optional
+    if engine == "jinja2":
         tmpl_src = template
 
+        # a struct argument reaches a pandas UDF as a pd.DataFrame of its
+        # fields (NOT a Series of Rows) — same shape as the format path
         @F.pandas_udf(T.StringType())
-        def render(batch: pd.Series) -> pd.Series:
+        def render(batch: pd.DataFrame) -> pd.Series:  # pragma: no cover (executor)
             t = jinja2.Environment().from_string(tmpl_src)
-            return batch.map(lambda row: t.render(**row.asDict() if hasattr(row, "asDict") else row))
+            return pd.Series([t.render(**row) for row in batch.to_dict("records")])
 
         packed = F.struct(*[F.col(c) for c in fields])
         return df.withColumn(out, render(packed))

@@ -115,6 +115,109 @@ def bm25_topk(
     )
 
 
+def build_bm25_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, dict]:
+    """Build the persistable inverted index for repeated BM25 queries:
+    ``(postings_df, meta)``.
+
+    ``postings_df`` is the artifact a 100 TB pipeline WRITES ONCE and
+    queries many times: one row per (term, doc) pair — ``(term, doc, dl,
+    tf)`` with the doc length denormalized in, so search never joins a
+    doc-lengths table. It comes back range-partitioned and sorted by
+    ``term``: stored as parquet, every row group's min/max stats cover a
+    narrow term range, so a query's ``term IN (...)`` filter prunes the
+    scan to the matching row groups — the inverted-index property, without
+    a custom file format. ``meta`` is two integers (doc count, total token
+    count), the only driver-side state.
+
+    One shuffle builds it (explode → per-(term,doc) count; the range
+    partitioning reuses nothing but is a one-time cost). Search over the
+    stored index costs no corpus pass at all — see :func:`bm25_index_search`;
+    the ad-hoc :func:`bm25_topk` stays the right tool for one-off queries
+    and full-corpus scoring.
+    """
+    toks = _tokens(text_col)
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("__t"))
+    lens = base.select("doc", F.size("__t").alias("dl"))
+    meta_row = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_dl")
+    ).first()
+    postings = (
+        base.select("doc", F.size("__t").alias("dl"),
+                    F.explode("__t").alias("term"))
+        .groupBy("term", "doc", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .repartitionByRange(F.col("term"))
+        .sortWithinPartitions("term", "doc")
+    )
+    # total_dl is an exact integer sum, so avgdl reconstructed at search
+    # time (total_dl / n) is bit-identical to bm25_topk's avg aggregate
+    return postings, {"n_docs": int(meta_row["n"]),
+                      "total_dl": int(meta_row["total_dl"] or 0)}
+
+
+def bm25_index_search(
+    postings: DataFrame,
+    meta: dict,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` BM25 over a stored inverted index (from
+    :func:`build_bm25_index`, possibly round-tripped through parquet).
+
+    Scores are IDENTICAL to ``bm25_topk(..., prune=True)`` on the source
+    corpus — not merely close: the pruned postings pivot back to one tf
+    column per query term (explicit pivot values, no distinct job) and the
+    score is the same fixed-order expression ``bm25_topk`` builds, so
+    float addition happens in the same sequence. Document frequencies are
+    exact global counts read off the pruned postings themselves (a term's
+    posting count IS its df), collected as per-term driver metadata.
+
+    Plan shape: term-pruned parquet scan → one tiny df-per-term aggregate
+    (query-terms-sized collect) → pivot aggregate on doc → TakeOrdered.
+    The corpus is never scanned.
+    """
+    terms = tokenize_query(query)
+    if not terms:
+        raise ValueError("query has no indexable terms")
+    n = meta["n_docs"]
+    avgdl = meta["total_dl"] / n if n else 0.0
+
+    pruned = postings.filter(F.col("term").isin(terms))
+    dfs = {r["term"]: r["c"] for r in
+           pruned.groupBy("term").agg(F.count(F.lit(1)).alias("c")).collect()}
+
+    # dunder group-col names cannot collide with pivot columns (terms are
+    # [a-z0-9]+ — a query term 'doc' or 'dl' is legal)
+    wide = (
+        pruned.groupBy(F.col("doc").alias("__doc"), F.col("dl").alias("__dl"))
+        .pivot("term", terms).agg(F.first("tf"))
+    )
+    parts = []
+    for t in terms:
+        tf = F.coalesce(F.col(t), F.lit(0))
+        dfc = F.lit(dfs.get(t, 0))
+        idf = F.log((F.lit(n) - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)) + F.lit(1.0))
+        norm = tf + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("__dl") / F.lit(avgdl))
+        parts.append(idf * tf * F.lit(k1 + 1) / norm)
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+
+    return (
+        wide.select(F.col("__doc").alias(id_col), score.alias("__s"))
+        .orderBy(F.col("__s").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("__s", 6).alias("score"))
+    )
+
+
 def bm25_oracle_sql(
     query: str,
     table: str = "documents",
@@ -123,9 +226,12 @@ def bm25_oracle_sql(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    prune: bool = False,
 ) -> str:
     """DuckDB twin of :func:`bm25_topk` — same tokenizer, same arithmetic
-    expression shape (integer tf/df/dl → bit-identical doubles)."""
+    expression shape (integer tf/df/dl → bit-identical doubles).
+    ``prune=True`` mirrors the pruned/indexed paths: documents containing
+    no query term are excluded (zero-score docs never pad the tail)."""
     terms = tokenize_query(query)
     tf_cols = ", ".join(
         f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
@@ -140,6 +246,10 @@ def bm25_oracle_sql(
         f" * tf{i} * {k1 + 1!r} / (tf{i} + {k1!r} * ({1 - b!r} + {b!r} * dl / avgdl)))"
         for i in range(len(terms))
     )
+    where = (
+        "WHERE " + " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+        if prune else ""
+    )
     return f"""
         WITH base AS (
             SELECT {id_col}, len(t) AS dl, {tf_cols}
@@ -151,5 +261,6 @@ def bm25_oracle_sql(
         )
         SELECT {id_col}, round(s, 6) AS score
         FROM (SELECT {id_col}, {score} AS s FROM base, stats
+              {where}
               ORDER BY s DESC, {id_col} LIMIT {k})
     """

@@ -65,6 +65,72 @@ class PipeGraph:
         out.append("}")
         return "\n".join(out)
 
+    def render_svg(self, node_w: int = 150, node_h: int = 36,
+                   dx: int = 230, dy: int = 64) -> str:
+        """Self-contained SVG rendering of the graph — the analogue of the
+        reference's matplotlib ``plot()`` (reference src/hyped/data/
+        graph.py:185-280) with the same multipartite layer layout, but
+        dependency-free: inputs/outputs as ellipses, stages as boxes,
+        labeled edges, one column per dataflow layer."""
+        from xml.sax.saxutils import escape
+
+        by_layer: dict[int, list[GraphNode]] = {}
+        for n in self.nodes:
+            by_layer.setdefault(n.layer, []).append(n)
+        max_rows = max((len(v) for v in by_layer.values()), default=1)
+        height = max_rows * dy + dy
+        width = (self.num_layers or 1) * dx + dx // 2
+        pos: dict[int, tuple[float, float]] = {}
+        for lyr, nodes in sorted(by_layer.items()):
+            # center each layer's column vertically, stable order by id
+            top = (height - len(nodes) * dy) / 2 + dy / 2
+            for i, n in enumerate(sorted(nodes, key=lambda x: x.node_id)):
+                pos[n.node_id] = (lyr * dx + dx / 2, top + i * dy)
+
+        out = [
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+            f'height="{height}" viewBox="0 0 {width} {height}">',
+            '<defs><marker id="arr" markerWidth="8" markerHeight="8" '
+            'refX="7" refY="3" orient="auto"><path d="M0,0 L7,3 L0,6 z" '
+            'fill="#555"/></marker></defs>',
+            f'<rect width="{width}" height="{height}" fill="white"/>',
+        ]
+        for src, dst, feats in self.edges:
+            (x1, y1), (x2, y2) = pos[src], pos[dst]
+            x1e, x2e = x1 + node_w / 2, x2 - node_w / 2
+            out.append(
+                f'<line x1="{x1e:.0f}" y1="{y1:.0f}" x2="{x2e:.0f}" '
+                f'y2="{y2:.0f}" stroke="#555" stroke-width="1" '
+                'marker-end="url(#arr)"/>'
+            )
+            if feats:
+                mx, my = (x1e + x2e) / 2, (y1 + y2) / 2 - 4
+                out.append(
+                    f'<text x="{mx:.0f}" y="{my:.0f}" font-size="9" '
+                    f'fill="#777" text-anchor="middle">'
+                    f'{escape(", ".join(feats))}</text>'
+                )
+        fill = {"input": "#dbeafe", "stage": "#dcfce7", "output": "#fee2e2"}
+        for n in self.nodes:
+            x, y = pos[n.node_id]
+            if n.kind == "stage":
+                out.append(
+                    f'<rect x="{x - node_w / 2:.0f}" y="{y - node_h / 2:.0f}" '
+                    f'width="{node_w}" height="{node_h}" rx="4" '
+                    f'fill="{fill[n.kind]}" stroke="#333"/>'
+                )
+            else:
+                out.append(
+                    f'<ellipse cx="{x:.0f}" cy="{y:.0f}" rx="{node_w // 2}" '
+                    f'ry="{node_h // 2}" fill="{fill[n.kind]}" stroke="#333"/>'
+                )
+            out.append(
+                f'<text x="{x:.0f}" y="{y + 4:.0f}" font-size="11" '
+                f'text-anchor="middle">{escape(n.label)}</text>'
+            )
+        out.append("</svg>")
+        return "\n".join(out)
+
 
 def build_graph(spark: SparkSession, spec,
                 in_schema: T.StructType | None = None) -> PipeGraph:

@@ -330,6 +330,26 @@ def main() -> None:
          or "ArrowEvalPython" in p),
     ]))
 
+    # 28. inverted-index BM25 search over a STORED postings table: the
+    # query's term filter must push into the parquet scan (row-group
+    # pruning = the inverted-index property), and search is one pivot
+    # aggregate + TakeOrdered — no corpus scan, no corpus-shaped join
+    from hyped_spark.operators.search import bm25_index_search, build_bm25_index
+
+    postings, bmeta = build_bm25_index(docs)
+    idxdir = tempfile.mkdtemp()
+    postings.write.mode("overwrite").parquet(os.path.join(idxdir, "idx"))
+    stored = spark.read.parquet(os.path.join(idxdir, "idx"))
+    p = plan_of(bm25_index_search(stored, bmeta, "dup merge", k=10))
+    sections.append(("bm25_index_search (stored inverted index)", p, [
+        ("query terms pushed into the postings scan (In filter)",
+         "PushedFilters" in p and "In(term" in p),
+        ("no corpus-shaped join", "SortMergeJoin" not in p
+         and "CartesianProduct" not in p),
+        ("top-k is TakeOrdered", "TakeOrderedAndProject" in p),
+    ]))
+    shutil.rmtree(idxdir, ignore_errors=True)
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)\n"]
     all_ok = True
     for title, plan, checks in sections:

@@ -165,3 +165,57 @@ def test_bm25_prune_drops_only_zero_score_tail(spark):
     assert [r.doc_id for r in pruned] == [2]
     assert full[0].doc_id == 2 and full[0].score == pruned[0].score
     assert all(r.score == 0.0 for r in full[1:])
+
+
+def test_bm25_index_build_search_roundtrip(spark, tmp_path):
+    """Inverted-index path: build once, round-trip through parquet, search
+    many — every query's top-k must EQUAL bm25_topk(prune=True) on the
+    source corpus, score-for-score."""
+    import json
+    import random
+
+    from hyped_spark.operators.search import (
+        bm25_index_search, bm25_topk, build_bm25_index,
+    )
+
+    rng = random.Random(3)
+    vocab = ["fast", "table", "scan", "merge", "slow", "row", "group",
+             "the", "doc", "dl", "sort"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    postings, meta = build_bm25_index(df)
+    idx_path = str(tmp_path / "bm25_idx")
+    postings.write.parquet(idx_path)
+    (tmp_path / "meta.json").write_text(json.dumps(meta))
+    stored = spark.read.parquet(idx_path)
+    meta2 = json.loads((tmp_path / "meta.json").read_text())
+
+    # 'doc' and 'dl' as query terms exercise the name-collision guard
+    for query in ("fast table", "merge sort slow", "doc dl", "zzz fast"):
+        via_index = [(r.doc_id, r.score) for r in
+                     bm25_index_search(stored, meta2, query, k=12).collect()]
+        direct = [(r.doc_id, r.score) for r in
+                  bm25_topk(df, query, k=12, prune=True).collect()]
+        assert via_index == direct, query
+
+
+def test_bm25_index_scan_prunes_terms(spark, tmp_path):
+    """The stored postings scan must push the query's term filter into
+    parquet (the inverted-index property: row-group pruning on term)."""
+    from hyped_spark.operators.search import bm25_index_search, build_bm25_index
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    postings, meta = build_bm25_index(df)
+    idx_path = str(tmp_path / "idx")
+    postings.write.parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+
+    q = bm25_index_search(stored, meta, "fast merge", k=3)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(term" in plan, plan[:800]
+    # no corpus-shaped join anywhere — one pivot agg + TakeOrdered
+    assert "SortMergeJoin" not in plan and "TakeOrderedAndProject" in plan

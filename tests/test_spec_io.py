@@ -454,3 +454,58 @@ def test_search_and_session_stages_as_declarative_spec(spark):
     )
     out = sorted((r.uid, r.n_events) for r in sess.transform(ev).collect())
     assert out == [(7, 1), (7, 2)]
+
+
+def test_template_jinja2_engine(spark):
+    """R7 jinja2 path (the container ships jinja2): AST-based field
+    discovery and per-batch rendering with jinja2 semantics (filters,
+    conditionals) — things the format engine can't express."""
+    import pytest
+
+    jinja2 = pytest.importorskip("jinja2")  # noqa: F841
+
+    from hyped_spark.functions.templates import render_template_col, required_fields
+
+    t = "{{ lang | upper }}:{% if n_chars > 40 %}long{% else %}short{% endif %}"
+    assert required_fields(t, engine="jinja2") == ["lang", "n_chars"]
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    rows = render_template_col(d, t, "tagged", engine="jinja2").select(
+        "doc_id", "lang", "n_chars", "tagged"
+    ).collect()
+    assert rows
+    for r in rows:
+        expect = f"{r.lang.upper()}:{'long' if r.n_chars > 40 else 'short'}"
+        assert r.tagged == expect, (r.doc_id, r.tagged, expect)
+
+
+def test_graph_render_svg(spark):
+    """SVG rendering of the process graph (reference plot() analogue):
+    valid XML, every node and edge drawn, layered left-to-right."""
+    import xml.etree.ElementTree as ET
+
+    from pyspark.sql import types as T
+
+    from hyped_spark.plans.graph import build_graph
+    from hyped_spark.plans.spec import PipelineSpec
+
+    spec = PipelineSpec(source=None, stages=[
+        {"op": "with_column", "name": "total", "expr": "price * qty"},
+        {"op": "select", "columns": ["id", "total"]},
+    ])
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("qty", T.LongType()),
+    ])
+    g = build_graph(spark, spec, schema)
+    svg = g.render_svg()
+    root = ET.fromstring(svg)  # well-formed XML
+    ns = "{http://www.w3.org/2000/svg}"
+    shapes = root.findall(f"{ns}rect") + root.findall(f"{ns}ellipse")
+    # one background rect + one shape per node
+    assert len(shapes) == len(g.nodes) + 1
+    assert len(root.findall(f"{ns}line")) == len(g.edges)
+    texts = [t.text for t in root.findall(f"{ns}text")]
+    for n in g.nodes:
+        assert n.label in texts
