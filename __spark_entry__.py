@@ -1108,6 +1108,29 @@ def token_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-text canonicalization under oracle: every doc gets a planted
+    messy suffix (tab + bell control char + decomposed 'cafe'+combining
+    accent + ragged spaces); normalize_text_col must NFC-compose, strip
+    controls, collapse whitespace. Compared via exact length + md5 of the
+    normalized text (both engines run the same regexp chain; NFC is
+    stdlib unicodedata vs DuckDB utf8proc — same Unicode algorithm)."""
+    from hyped_spark.functions.text import normalize_text_col
+
+    d = _load(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.col("text"),
+        # decomposed e+U+0301 and a BEL control, as explicit escapes
+        F.lit("  \tcafe\u0301 \u0007 tail   x"),
+    )
+    norm = normalize_text_col(messy)
+    return d.select(
+        "doc_id",
+        F.length(norm).cast("long").alias("norm_len"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
 def image_decode_real_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode under oracle: per-doc PNG blobs are encoded from
     closed-form pixel content (gray half-bright split), then decoded by the
@@ -1212,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_template_docs": render_template_docs,
         "token_spans_docs": token_spans_docs,
         "image_decode_real_docs": image_decode_real_docs,
+        "normalize_text_docs": normalize_text_docs,
     }
 
 
@@ -1691,6 +1715,7 @@ def oracle_sql() -> dict[str, str]:
                    [se[idx_e[1]], se[idx_e[2]]] AS val_e
             FROM ix
         """,
+        "normalize_text_docs": _normalize_text_oracle(),
         # every feature is a closed form of the generating params (see the
         # query docstring); 1085102592571150095 = 0x0F0F0F0F0F0F0F0F, the
         # average-hash of any even-width half-bright image
@@ -2472,4 +2497,17 @@ def _quality_oracle() -> str:
         SELECT decile, count(*) AS n FROM (
             SELECT CAST(floor({score} * 10) AS BIGINT) AS decile FROM documents
         ) GROUP BY decile
+    """
+
+
+def _normalize_text_oracle() -> str:
+    from hyped_spark.functions.text import normalize_text_sql
+
+    messy = ("text || '  ' || chr(9) || 'cafe' || chr(769) || ' ' || chr(7)"
+             " || ' tail   x'")
+    norm = normalize_text_sql(messy)
+    return f"""
+        SELECT doc_id, CAST(length({norm}) AS BIGINT) AS norm_len,
+               md5({norm}) AS norm_md5
+        FROM documents
     """

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     # inverted-index BM25: build + search in one timed query (the search
     # alone over a stored index is the bm25_search_pruned shape below)
     "bm25_indexed_docs",
+    "normalize_text_docs",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

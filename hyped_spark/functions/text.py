@@ -319,3 +319,38 @@ def fingerprint_col(text: Column) -> Column:
     """
     normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
     return F.xxhash64(normalized)
+
+
+def normalize_text_col(text: Column, nfc: bool = True) -> Column:
+    """Web-text normalization: Unicode NFC composition, control/format
+    character removal (C0/C1/Cf → space), and whitespace collapse + trim —
+    the canonicalization pass a crawl pipeline runs before hashing or
+    tokenizing (mojibake-adjacent combining sequences otherwise defeat
+    exact dedup: 'cafe'+U+0301 and precomposed 'café' hash differently).
+
+    The control-strip and whitespace steps are native regexp (codegen);
+    NFC has no Spark builtin, so ``nfc=True`` adds ONE Arrow-vectorized
+    UDF (stdlib ``unicodedata``) — the only Python in the pass. Pure
+    ASCII pipelines can set ``nfc=False`` for a fully native expression.
+    DuckDB twin: :func:`normalize_text_sql` (``nfc_normalize`` + the same
+    regexp chain) replays it exactly.
+    """
+    col = text
+    if nfc:
+        @F.pandas_udf(T.StringType())
+        def _nfc(s: pd.Series) -> pd.Series:  # pragma: no cover (executor)
+            import unicodedata
+
+            return s.map(lambda x: None if x is None
+                         else unicodedata.normalize("NFC", x))
+
+        col = _nfc(col)
+    col = F.regexp_replace(col, r"[\p{Cc}\p{Cf}]+", " ")
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def normalize_text_sql(expr: str, nfc: bool = True) -> str:
+    """DuckDB twin of :func:`normalize_text_col`."""
+    e = f"nfc_normalize({expr})" if nfc else expr
+    e = f"regexp_replace({e}, '[\\p{{Cc}}\\p{{Cf}}]+', ' ', 'g')"
+    return f"trim(regexp_replace({e}, '\\s+', ' ', 'g'))"

@@ -147,6 +147,16 @@ def _token_count(p: dict) -> Stage:
                                     token_count_col(F.col(p.get("text_col", "text"))))
 
 
+@register("normalize_text")
+def _normalize_text(p: dict) -> Stage:
+    from hyped_spark.functions.text import normalize_text_col
+    return lambda df: df.withColumn(
+        p.get("out", p.get("text_col", "text")),
+        normalize_text_col(F.col(p.get("text_col", "text")),
+                           nfc=p.get("nfc", True)),
+    )
+
+
 @register("fingerprint")
 def _fingerprint(p: dict) -> Stage:
     from hyped_spark.functions.text import fingerprint_col

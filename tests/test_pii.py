@@ -78,3 +78,33 @@ def test_sql_twin_matches(spark):
         # NULL text is NULL too — normalize both to compare
         g = tuple(x if x is not None else None for x in got[i])
         assert g == want[i], (i, got[i], want[i])
+
+
+def test_normalize_text_col(spark):
+    """NFC composition + control strip + whitespace collapse; composed and
+    decomposed spellings of the same text converge to one fingerprint."""
+    from pyspark.sql import functions as F
+
+    from hyped_spark.functions.text import fingerprint_col, normalize_text_col
+
+    rows = [
+        (1, "cafe\u0301 menu"),            # decomposed
+        (2, "caf\u00e9 menu"),             # precomposed - same text
+        (3, "caf\u00e9\t\u0007menu\u200f "),  # controls + ragged whitespace
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = df.select(
+        "id",
+        normalize_text_col(F.col("text")).alias("norm"),
+        fingerprint_col(normalize_text_col(F.col("text"))).alias("fp"),
+    ).collect()
+    by_id = {r.id: r for r in out}
+    assert by_id[1].norm == by_id[2].norm == by_id[3].norm == "caf\u00e9 menu"
+    assert by_id[1].fp == by_id[2].fp == by_id[3].fp
+    assert by_id[4].norm is None
+
+    # nfc=False stays fully native (no Python stage in the plan)
+    plan = df.select(normalize_text_col(F.col("text"), nfc=False)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
