@@ -1108,6 +1108,47 @@ def token_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def canonical_url_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization under oracle: five messy-URL variants
+    synthesized per order row (scheme/host case, default ports, tracking
+    params, fragments, trailing slashes, padding) must collapse to their
+    canonical spelling. Pure native regexp in both engines — the patterns
+    avoid lookarounds so Java regex and RE2 execute them identically."""
+    from hyped_spark.functions.url import canonical_url_col
+
+    o = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("string")
+    variants = [
+        F.concat(F.lit("HTTP://Example.COM:80/Path/"), k,
+                 F.lit("/?utm_source=x&id="), k, F.lit("#frag")),
+        F.concat(F.lit("https://site.org:443/item/"), k),
+        F.concat(F.lit("http://Host.net/p"), k, F.lit("?id="), k,
+                 F.lit("&utm_a=1")),
+        F.concat(F.lit("  https://h.io/x"), k, F.lit("?a=1&fbclid=zz&b=2  ")),
+        F.concat(F.lit("https://site.org/a/"), k, F.lit("/")),
+    ]
+    raw = variants[0]
+    for i in range(1, 5):
+        raw = F.when(F.col("o_orderkey") % 5 == i, variants[i]).otherwise(raw)
+    return o.select("o_orderkey", canonical_url_col(raw).alias("canon"))
+
+
+def stats_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass statistics report (reference StatisticsReport,
+    statistics/report.py:18-147): mean/std, a fixed-range histogram and a
+    null fraction over lineitem compiled into ONE global aggregate — N
+    statistics, one scan, zero shuffles. Long-format (metric, value)."""
+    from hyped_spark.operators.stats import statistics_report
+
+    li = _load(spark, sf_dir, "lineitem")
+    return statistics_report(li, [
+        {"kind": "mean_std", "col": "l_extendedprice"},
+        {"kind": "histogram", "col": "l_quantity", "low": 0.0, "high": 50.0,
+         "bins": 10},
+        {"kind": "null_frac", "col": "l_returnflag"},
+    ])
+
+
 def normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-text canonicalization under oracle: every doc gets a planted
     messy suffix (tab + bell control char + decomposed 'cafe'+combining
@@ -1236,6 +1277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_spans_docs": token_spans_docs,
         "image_decode_real_docs": image_decode_real_docs,
         "normalize_text_docs": normalize_text_docs,
+        "stats_report_lineitem": stats_report_lineitem,
+        "canonical_url_orders": canonical_url_orders,
     }
 
 
@@ -1716,6 +1759,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ix
         """,
         "normalize_text_docs": _normalize_text_oracle(),
+        "stats_report_lineitem": _stats_report_oracle(),
+        "canonical_url_orders": _canonical_url_oracle(),
         # every feature is a closed form of the generating params (see the
         # query docstring); 1085102592571150095 = 0x0F0F0F0F0F0F0F0F, the
         # average-hash of any even-width half-bright image
@@ -2511,3 +2556,52 @@ def _normalize_text_oracle() -> str:
                md5({norm}) AS norm_md5
         FROM documents
     """
+
+
+def _stats_report_oracle() -> str:
+    """UNION-ALL twin of the single-agg stats report (same metric names,
+    same bin boundaries computed with the same float arithmetic)."""
+    width = (50.0 - 0.0) / 10
+    cols = [
+        ("l_extendedprice/mean", "round(avg(l_extendedprice), 4)"),
+        ("l_extendedprice/std", "round(stddev_pop(l_extendedprice), 4)"),
+        ("l_extendedprice/n", "CAST(count(l_extendedprice) AS DOUBLE)"),
+    ]
+    for i in range(10):
+        lo_i = 0.0 + i * width
+        hi_i = 50.0 if i == 9 else 0.0 + (i + 1) * width
+        op = "<=" if i == 9 else "<"
+        cols.append((
+            f"l_quantity/bin{i}",
+            f"CAST(sum(CASE WHEN l_quantity >= {lo_i!r} AND "
+            f"l_quantity {op} {hi_i!r} THEN 1 ELSE 0 END) AS DOUBLE)",
+        ))
+    cols.append(("l_returnflag/null_frac",
+                 "round(CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 "
+                 "END) AS DOUBLE) / count(*), 4)"))
+    sels = ", ".join(f"{expr} AS s{i}" for i, (_, expr) in enumerate(cols))
+    rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS metric, s{i} AS value FROM a"
+        for i, (name, _) in enumerate(cols)
+    )
+    return f"WITH a AS (SELECT {sels} FROM lineitem) {rows}"
+
+
+def _canonical_url_oracle() -> str:
+    from hyped_spark.functions.url import canonical_url_sql
+
+    raw = (
+        "CASE CAST(o_orderkey % 5 AS INTEGER)"
+        " WHEN 1 THEN 'https://site.org:443/item/' || o_orderkey"
+        " WHEN 2 THEN 'http://Host.net/p' || o_orderkey || '?id='"
+        " || o_orderkey || '&utm_a=1'"
+        " WHEN 3 THEN '  https://h.io/x' || o_orderkey"
+        " || '?a=1&fbclid=zz&b=2  '"
+        " WHEN 4 THEN 'https://site.org/a/' || o_orderkey || '/'"
+        " ELSE 'HTTP://Example.COM:80/Path/' || o_orderkey"
+        " || '/?utm_source=x&id=' || o_orderkey || '#frag' END"
+    )
+    return (
+        f"SELECT o_orderkey, {canonical_url_sql(f'({raw})')} AS canon "
+        f"FROM orders"
+    )

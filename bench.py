@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     # alone over a stored index is the bm25_search_pruned shape below)
     "bm25_indexed_docs",
     "normalize_text_docs",
+    "stats_report_lineitem",
+    "canonical_url_orders",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

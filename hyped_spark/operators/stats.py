@@ -98,3 +98,67 @@ def percentiles(df: DataFrame, col: str, ps: list[float],
         F.element_at(p_map, F.col("__i") + 1).alias("p"),
         F.round(F.col("value"), round_dp).alias("value"),
     )
+
+
+def statistics_report(df: DataFrame, specs: list[dict],
+                      round_dp: int = 4) -> DataFrame:
+    """Many statistics, ONE dataset pass — the reference's
+    StatisticsReport (statistics/report.py:18-147 collects every
+    registered statistic concurrently while the dataset streams once;
+    base.py:37-209 merges per-batch partials under a lock). Spark's
+    analogue is structural: every requested statistic compiles into one
+    global ``agg`` whose partial aggregation does the per-partition work
+    map-side, so N statistics cost one scan and ZERO shuffles (the final
+    aggregate is a single 1-row reduce), vs N scans for N separate calls.
+
+    ``specs``: list of dicts —
+      {"kind": "mean_std",  "col": c}
+      {"kind": "histogram", "col": c, "low": x, "high": y, "bins": n}
+      {"kind": "seq_len_hist", "col": c, "low": x, "high": y, "bins": n}
+        (sequence-length histogram — A4 at bounded bins)
+      {"kind": "null_frac", "col": c}
+
+    Output is LONG format, one row per (metric, value): metric names are
+    ``<col>/mean``, ``<col>/std``, ``<col>/n``, ``<col>/bin<i>``,
+    ``<col>/null_frac`` — report-sized, orderable, SQL-oracle-friendly.
+    Discrete histograms (A3/A6) group by value and need their own shuffle;
+    they stay separate calls by design.
+    """
+    aggs: list = []
+    names: list[str] = []
+
+    def bin_counts(value, low: float, high: float, bins: int, prefix: str):
+        width = (high - low) / bins
+        for i in range(bins):
+            lo_i = low + i * width
+            hi_i = high + 0.0 if i == bins - 1 else low + (i + 1) * width
+            cond = (value >= F.lit(lo_i)) & (
+                (value <= F.lit(hi_i)) if i == bins - 1 else (value < F.lit(hi_i))
+            )
+            aggs.append(F.sum(cond.cast("long")).cast("double"))
+            names.append(f"{prefix}/bin{i}")
+
+    for sp in specs:
+        kind, c = sp["kind"], sp["col"]
+        col = F.col(c)
+        if kind == "mean_std":
+            aggs += [F.round(F.mean(col), round_dp),
+                     F.round(F.stddev_pop(col), round_dp),
+                     F.count(col).cast("double")]
+            names += [f"{c}/mean", f"{c}/std", f"{c}/n"]
+        elif kind == "histogram":
+            bin_counts(col, sp["low"], sp["high"], sp["bins"], c)
+        elif kind == "seq_len_hist":
+            bin_counts(F.size(col), sp["low"], sp["high"], sp["bins"], c)
+        elif kind == "null_frac":
+            aggs.append(F.round(
+                F.sum(col.isNull().cast("long")) / F.count(F.lit(1)), round_dp))
+            names.append(f"{c}/null_frac")
+        else:
+            raise ValueError(f"unknown statistic kind: {kind!r}")
+
+    one = df.agg(*[a.alias(f"__s{i}") for i, a in enumerate(aggs)])
+    stack = ", ".join(f"'{n}', __s{i}" for i, n in enumerate(names))
+    return one.selectExpr(
+        f"stack({len(names)}, {stack}) AS (metric, value)"
+    )

@@ -147,6 +147,15 @@ def _token_count(p: dict) -> Stage:
                                     token_count_col(F.col(p.get("text_col", "text"))))
 
 
+@register("canonical_url")
+def _canonical_url(p: dict) -> Stage:
+    from hyped_spark.functions.url import canonical_url_col
+    return lambda df: df.withColumn(
+        p.get("out", p.get("url_col", "url")),
+        canonical_url_col(F.col(p.get("url_col", "url"))),
+    )
+
+
 @register("normalize_text")
 def _normalize_text(p: dict) -> Stage:
     from hyped_spark.functions.text import normalize_text_col

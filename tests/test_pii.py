@@ -108,3 +108,33 @@ def test_normalize_text_col(spark):
     plan = df.select(normalize_text_col(F.col("text"), nfc=False)) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_canonical_url_col(spark):
+    from pyspark.sql import functions as F
+
+    from hyped_spark.functions.url import canonical_url_col
+
+    cases = [
+        (1, "HTTP://Example.COM:80/Path/Page/?utm_source=x&id=5#frag",
+         "http://example.com/Path/Page?id=5"),
+        (2, "https://site.org:443/", "https://site.org/"),
+        (3, "https://site.org/a/b/", "https://site.org/a/b"),
+        (4, "http://Host.net/p?utm_a=1&utm_b=2", "http://host.net/p"),
+        (5, "http://host.net/p?id=2&utm_a=1", "http://host.net/p?id=2"),
+        (6, "  http://host.net/p/?ref=abc  ", "http://host.net/p"),
+        (7, "http://host.net/", "http://host.net/"),
+        (8, "http://host.net", "http://host.net"),
+        (9, "ftp://Weird.Host/A", "ftp://weird.host/A"),
+        (10, "https://h.io/x?a=1&fbclid=zz&b=2", "https://h.io/x?a=1&b=2"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases],
+                               "id long, url string")
+    got = {r.id: r.c for r in
+           df.select("id", canonical_url_col(F.col("url")).alias("c")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+    plan = df.select(canonical_url_col(F.col("url"))) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # fully native
