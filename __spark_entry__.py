@@ -1207,6 +1207,64 @@ def image_decode_real_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under oracle: per-doc WAV blobs are encoded from
+    closed-form PCM content (a ±amp square wave), then decoded by the
+    default fake=False path — stdlib RIFF chunk scan + int16 frombuffer +
+    per-sample RMS/peak. Every output is derivable from doc_id alone, so
+    the oracle needs no codec: the RMS of a constant-magnitude square wave
+    is exactly its amplitude (A² is a perfect square, so mean and sqrt are
+    both exact in IEEE doubles), and duration_ms = frames/rate replays as
+    the identical double division in DuckDB."""
+    from hyped_spark.functions.multimodal import decode_audio_features, encode_wav
+
+    @F.pandas_udf("binary")
+    def make_wav(ids: pd.Series) -> pd.Series:  # pragma: no cover (executor)
+        out = []
+        for i in ids:
+            i = int(i)
+            amp = 500 + i % 2000
+            ch = 1 + i % 2
+            n = 80 + i % 50
+            sr = 8000 + (i % 3) * 4000
+            sign = np.where(np.arange(n) % 2 == 0, 1, -1)[:, None]
+            samples = (sign * amp * np.ones((n, ch))).astype(np.int16)
+            out.append(encode_wav(samples, sr))
+        return pd.Series(out)
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    wavs = d.select("doc_id", make_wav("doc_id").alias("audio"))
+    feats = decode_audio_features(wavs, "audio", "a", fake=False)
+    return feats.select(
+        "doc_id",
+        F.col("a.sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("a.channels").cast("bigint").alias("channels"),
+        F.col("a.bits").cast("bigint").alias("bits"),
+        F.col("a.n_frames").alias("n_frames"),
+        F.col("a.duration_ms").alias("duration_ms"),
+        F.col("a.rms").alias("rms"),
+        F.col("a.peak").cast("bigint").alias("peak"),
+    )
+
+
+def zorder_key_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) clustering key under oracle: the exact key a
+    layout-optimizing write would range-partition on, computed over
+    (l_quantity, l_extendedprice) with fixed bounds — pure native integer/
+    float expressions, bit-for-bit replayable in DuckDB
+    (hyped_spark/lake/zorder.py; the layout's file-skipping payoff is
+    asserted separately in tests/test_zorder.py)."""
+    from hyped_spark.lake.zorder import z_order_key
+
+    li = _load(spark, sf_dir, "lineitem")
+    bounds = [(1.0, 50.0), (900.0, 105000.0)]
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        z_order_key([F.col("l_quantity"), F.col("l_extendedprice")],
+                    bounds, bits=12).alias("zkey"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1279,6 +1337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text_docs": normalize_text_docs,
         "stats_report_lineitem": stats_report_lineitem,
         "canonical_url_orders": canonical_url_orders,
+        "audio_features_docs": audio_features_docs,
+        "zorder_key_lineitem": zorder_key_lineitem,
     }
 
 
@@ -1761,6 +1821,21 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text_docs": _normalize_text_oracle(),
         "stats_report_lineitem": _stats_report_oracle(),
         "canonical_url_orders": _canonical_url_oracle(),
+        # closed forms of the WAV generating params (see query docstring);
+        # rms == amplitude exactly for a ±amp square wave
+        "audio_features_docs": """
+            SELECT doc_id,
+                   8000 + (doc_id % 3) * 4000 AS sample_rate,
+                   1 + doc_id % 2 AS channels,
+                   CAST(16 AS BIGINT) AS bits,
+                   80 + doc_id % 50 AS n_frames,
+                   round(CAST(80 + doc_id % 50 AS DOUBLE) * 1000
+                         / (8000 + (doc_id % 3) * 4000), 6) AS duration_ms,
+                   CAST(500 + doc_id % 2000 AS DOUBLE) AS rms,
+                   500 + doc_id % 2000 AS peak
+            FROM documents
+        """,
+        "zorder_key_lineitem": _zorder_oracle(),
         # every feature is a closed form of the generating params (see the
         # query docstring); 1085102592571150095 = 0x0F0F0F0F0F0F0F0F, the
         # average-hash of any even-width half-bright image
@@ -2605,3 +2680,11 @@ def _canonical_url_oracle() -> str:
         f"SELECT o_orderkey, {canonical_url_sql(f'({raw})')} AS canon "
         f"FROM orders"
     )
+
+
+def _zorder_oracle() -> str:
+    from hyped_spark.lake.zorder import z_order_key_sql
+
+    key = z_order_key_sql(["l_quantity", "l_extendedprice"],
+                          [(1.0, 50.0), (900.0, 105000.0)], bits=12)
+    return (f"SELECT l_orderkey, l_linenumber, {key} AS zkey FROM lineitem")

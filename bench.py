@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "normalize_text_docs",
     "stats_report_lineitem",
     "canonical_url_orders",
+    "audio_features_docs",
+    "zorder_key_lineitem",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

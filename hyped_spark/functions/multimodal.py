@@ -359,3 +359,132 @@ def sample_video_frames(df: DataFrame, blob_col: str = "video",
             yield pdf.assign(**{out: col})
 
     return df.mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# audio (RIFF/WAVE — fully decodable with the stdlib: the container layout
+# and PCM sample encoding are public specifications, no codec involved)
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES = T.StructType([
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("bits", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("duration_ms", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.IntegerType()),
+])
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode PCM samples as a canonical RIFF/WAVE blob, stdlib-only.
+
+    ``samples``: int16 array of shape (n_frames,) or (n_frames, channels);
+    uint8 arrays encode as 8-bit PCM (the WAV unsigned convention)."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if s.dtype == np.uint8:
+        bits, data = 8, s.tobytes()
+    else:
+        bits, data = 16, s.astype("<i2").tobytes()
+    block = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate,
+                      sample_rate * block, block, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav_header(blob: bytes):
+    """RIFF chunk scan → (audio_format, channels, sample_rate, bits,
+    data_offset, data_len), or None when the payload is not RIFF/WAVE.
+    Chunk layout per the public WAVE spec (RIFF registry, multimedia
+    programming interface specification 1.0): 4-byte id + LE u32 size,
+    word-aligned; ``fmt `` carries the PCM params, ``data`` the samples."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    fmt_info = None
+    data_span = None
+    i = 12
+    n = len(blob)
+    while i + 8 <= n:
+        cid = blob[i:i + 4]
+        (clen,) = struct.unpack("<I", blob[i + 4:i + 8])
+        if cid == b"fmt " and clen >= 16:
+            audio_fmt, ch, sr, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", blob[i + 8:i + 24])
+            fmt_info = (audio_fmt, ch, sr, bits)
+        elif cid == b"data":
+            data_span = (i + 8, min(clen, n - i - 8))
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt_info is None or data_span is None:
+        return None
+    return (*fmt_info, *data_span)
+
+
+def _real_audio_decode(blob: bytes) -> tuple[int, int, int, int, float, float, int]:
+    """Real WAV PCM decode: header params + per-sample RMS and peak.
+    8-bit (unsigned, centered at 128) and 16-bit LE PCM are the stdlib-
+    expressible cases; compressed formats raise at the codec boundary."""
+    hdr = parse_wav_header(blob)
+    if hdr is None:
+        raise NotImplementedError(
+            "not a RIFF/WAVE container — mp3/ogg/flac need a real codec"
+        )
+    audio_fmt, ch, sr, bits, off, dlen = hdr
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"WAV format={audio_fmt} bits={bits} needs a real codec "
+            f"(stdlib path covers integer PCM 8/16-bit)"
+        )
+    if bits == 8:
+        x = np.frombuffer(blob, np.uint8, dlen, off).astype(np.float64) - 128.0
+    else:
+        x = np.frombuffer(blob, "<i2", dlen // 2, off).astype(np.float64)
+    n_frames = len(x) // ch
+    rms = float(round(np.sqrt(np.mean(x * x)), 6)) if len(x) else 0.0
+    peak = int(np.max(np.abs(x))) if len(x) else 0
+    duration_ms = round(n_frames * 1000.0 / sr, 6)
+    return sr, ch, bits, n_frames, duration_ms, rms, peak
+
+
+def _fake_audio_decode(blob: bytes) -> tuple[int, int, int, int, float, float, int]:
+    """Deterministic stand-in (STUB) — plumbing/oracle twin, like
+    :func:`_fake_decode` for images."""
+    d = hashlib.sha256(blob).digest()
+    sr = 8000 * (1 + d[0] % 6)
+    ch = 1 + d[1] % 2
+    n_frames = 1000 + int.from_bytes(d[2:4], "big") % 64000
+    return (sr, ch, 16, n_frames, round(n_frames * 1000.0 / sr, 6),
+            float(d[4]), int(d[5]) * 128)
+
+
+def decode_audio_features(df: DataFrame, blob_col: str = "audio",
+                          out: str = "audio_f", fake: bool = False) -> DataFrame:
+    """binary blob → typed audio feature struct, one map-only Arrow stage —
+    the audio analogue of :func:`decode_image_features` (same scale shape:
+    payloads never shuffle, only the features feed downstream ops). REAL
+    for WAV integer PCM; anything needing a codec raises, never fabricates."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields] + [T.StructField(out, AUDIO_FEATURES)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        for pdf in batches:
+            feats = []
+            for blob in pdf[blob_col]:
+                if blob is None:
+                    feats.append(None)
+                    continue
+                dec = _fake_audio_decode if fake else _real_audio_decode
+                sr, ch, bits, nf, dur, rms, peak = dec(bytes(blob))
+                feats.append({"sample_rate": sr, "channels": ch, "bits": bits,
+                              "n_frames": nf, "duration_ms": dur,
+                              "rms": rms, "peak": peak})
+            yield pdf.assign(**{out: feats})
+
+    return df.mapInPandas(run, out_schema)

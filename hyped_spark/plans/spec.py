@@ -356,6 +356,16 @@ def _lm_score(p: dict) -> Stage:
     return run
 
 
+@register("z_order")
+def _z_order(p: dict) -> Stage:
+    from hyped_spark.lake.zorder import z_order_sort
+    return lambda df: z_order_sort(
+        df, p["columns"],
+        bounds=[tuple(b) for b in p["bounds"]] if p.get("bounds") else None,
+        bits=p.get("bits", 16), n_partitions=p.get("n"),
+    )
+
+
 @register("repartition")
 def _repartition(p: dict) -> Stage:
     cols = [F.col(c) for c in p.get("columns", [])]

@@ -125,3 +125,64 @@ def test_spark_decode_real_png_features(spark):
     assert (metas[1].width, metas[1].height, metas[1].format) == (11, 13, "png")
     assert (metas[2].width, metas[2].height, metas[2].format) == (77, 33, "jpeg")
     assert metas[3] is None
+
+
+# ---------------------------------------------------------------------------
+# audio (WAV)
+# ---------------------------------------------------------------------------
+
+
+def _square_wav(n=100, ch=1, amp=700, sr=8000):
+    from hyped_spark.functions.multimodal import encode_wav
+
+    sign = np.where(np.arange(n) % 2 == 0, 1, -1)[:, None]
+    return encode_wav((sign * amp * np.ones((n, ch))).astype(np.int16), sr)
+
+
+def test_wav_roundtrip_16_and_8_bit():
+    from hyped_spark.functions.multimodal import (
+        _real_audio_decode, encode_wav, parse_wav_header,
+    )
+
+    b = _square_wav(n=161, ch=2, amp=1000, sr=12000)
+    assert parse_wav_header(b)[:4] == (1, 2, 12000, 16)
+    sr, ch, bits, nf, dur, rms, peak = _real_audio_decode(b)
+    assert (sr, ch, bits, nf) == (12000, 2, 16, 161)
+    assert rms == 1000.0 and peak == 1000
+    assert dur == round(161 * 1000.0 / 12000, 6)
+
+    sign = np.where(np.arange(64) % 2 == 0, 1, -1)
+    u8 = (128 + sign * 50).astype(np.uint8)
+    sr, ch, bits, nf, dur, rms, peak = _real_audio_decode(encode_wav(u8, 8000))
+    assert (sr, ch, bits, nf, rms, peak) == (8000, 1, 8, 64, 50.0, 50)
+
+
+def test_wav_codec_boundary_raises():
+    from hyped_spark.functions.multimodal import _real_audio_decode, encode_wav
+
+    with pytest.raises(NotImplementedError, match="RIFF/WAVE"):
+        _real_audio_decode(b"\xffjunkjunkjunkjunk")
+    # IEEE-float WAV (format 3) sits past the stdlib boundary
+    b = bytearray(_square_wav())
+    b[20] = 3  # audio_format field inside fmt chunk
+    with pytest.raises(NotImplementedError, match="needs a real codec"):
+        _real_audio_decode(bytes(b))
+
+
+def test_spark_decode_audio_features(spark):
+    from hyped_spark.functions.multimodal import decode_audio_features
+
+    rows = [(i, _square_wav(n=90 + i, ch=1 + i % 2, amp=600 + i, sr=8000))
+            for i in range(4)]
+    df = spark.createDataFrame(rows + [(99, None)], "id long, audio binary")
+    got = {r.id: r.a for r in
+           decode_audio_features(df, "audio", "a").collect()}
+    assert got[99] is None
+    for i in range(4):
+        a = got[i]
+        assert (a.sample_rate, a.channels, a.n_frames) == (8000, 1 + i % 2, 90 + i)
+        assert a.rms == float(600 + i) and a.peak == 600 + i
+
+    plan = decode_audio_features(df, "audio", "a") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: blobs never shuffle
