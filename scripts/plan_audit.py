@@ -350,6 +350,54 @@ def main() -> None:
     ]))
     shutil.rmtree(idxdir, ignore_errors=True)
 
+    # 29. single-pass statistics report: N statistics, one scan, the only
+    # movement is the 1-row global reduce — never a hash-partition shuffle
+    p = plan_of(q["stats_report_lineitem"](spark, SF))
+    sections.append(("stats_report_lineitem (N stats, one scan, no hash shuffle)", p, [
+        ("no hashpartitioning exchange", "hashpartitioning" not in p),
+        ("partial+final global agg", p.count("HashAggregate") >= 2),
+        ("no Python in the agg path", "Python" not in p),
+    ]))
+
+    # 30. URL canonicalization: pure regexp chain — stays in codegen
+    p = plan_of(q["canonical_url_orders"](spark, SF))
+    sections.append(("canonical_url_orders (native regexp, map-only)", p, [
+        ("no exchange", len(re.findall(r"\(\d+\) Exchange", p)) == 0),
+        ("fully native (no Python eval)", "Python" not in p),
+        ("whole-stage codegen", "codegen id" in p),
+    ]))
+
+    # 31. WAV decode: blobs never shuffle; decode is one Arrow stage
+    p = plan_of(q["audio_features_docs"](spark, SF))
+    sections.append(("audio_features_docs (stdlib WAV codec, map-only)", p, [
+        ("no exchange — blobs never shuffle",
+         len(re.findall(r"\(\d+\) Exchange", p)) == 0),
+        ("Arrow-vectorized decode", "MapInPandas" in p or "ArrowEvalPython" in p),
+    ]))
+
+    # 32. z-order: key computation is native codegen; the clustering sort is
+    # exactly ONE range exchange + in-partition sort (no global sort, no
+    # second shuffle)
+    from hyped_spark.lake.zorder import z_order_sort
+
+    p = plan_of(q["zorder_key_lineitem"](spark, SF))
+    sections.append(("zorder_key_lineitem (native Morton key)", p, [
+        ("no Python eval", "Python" not in p),
+        ("no exchange for key computation",
+         len(re.findall(r"\(\d+\) Exchange", p)) == 0),
+    ]))
+    li_z = spark.read.parquet(f"{SF}/lineitem.parquet")
+    p = plan_of(z_order_sort(li_z, ["l_quantity", "l_extendedprice"],
+                             bounds=[(1.0, 50.0), (900.0, 105000.0)], bits=12))
+    sections.append(("z_order_sort (one range exchange + local sort)", p, [
+        ("exactly one exchange, range-partitioned",
+         len(re.findall(r"\(\d+\) Exchange", p)) == 1
+         and "rangepartitioning" in p),
+        # formatted Sort detail prints "Arguments: [keys...], <global>, 0"
+        ("sort is within partitions (no global sort)",
+         ", false, 0" in p and ", true, 0" not in p),
+    ]))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)\n"]
     all_ok = True
     for title, plan, checks in sections:
