@@ -33,15 +33,23 @@ def _package_zip() -> str:
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     out = os.path.join(tempfile.gettempdir(), "hyped_spark_pyfiles.zip")
-    with zipfile.ZipFile(out, "w") as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    rel = os.path.join(
-                        "hyped_spark", os.path.relpath(full, pkg_dir)
-                    )
-                    zf.write(full, rel)
+    entries = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in files:
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                entries.append((os.path.join(
+                    "hyped_spark", os.path.relpath(full, pkg_dir)), full))
+    # Deterministic bytes (sorted entries, fixed timestamps): under
+    # `spark-submit --py-files <this zip>` the driver re-zips on session
+    # build, and SparkContext.addFile REFUSES a same-named file whose
+    # contents differ from the already-shipped copy — byte-stable output
+    # makes the re-add a no-op instead of a crash.
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for rel, full in sorted(entries):
+            with open(full, "rb") as fh:
+                zf.writestr(zipfile.ZipInfo(rel, (1980, 1, 1, 0, 0, 0)),
+                            fh.read())
     return out
 
 
@@ -84,7 +92,12 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.sparkContext.addPyFile(_package_zip())
+    # Under `spark-submit --py-files` this module is imported from the
+    # shipped zip itself — the package dir is not a real directory, there
+    # is nothing to re-zip, and executors already have the archive. Only
+    # plain-checkout sessions (tests, notebooks) need the self-ship.
+    if os.path.isdir(os.path.dirname(os.path.abspath(__file__))):
+        spark.sparkContext.addPyFile(_package_zip())
     return spark
 
 
