@@ -1265,6 +1265,29 @@ def zorder_key_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (hyped_spark/operators/curation.py:
+    frequent_items): event types above 5% support — the hot-key detector
+    whose output feeds the CDC merge's salting decision. One partial+final
+    aggregation; output bounded by 1/support rows regardless of input size."""
+    from hyped_spark.operators.curation import frequent_items
+
+    ev = _load(spark, sf_dir, "events")
+    return frequent_items(ev, "event_type", 0.05)
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis–Spirakis A-ES with a
+    portable-hash uniform, curation.py: weighted_sample): 50 documents
+    drawn ∝ n_chars, reproducible across engines — the oracle replays the
+    identical score and tiebreak in SQL."""
+    from hyped_spark.operators.curation import weighted_sample
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    return weighted_sample(d, "doc_id", "n_chars", 50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1339,6 +1362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url_orders": canonical_url_orders,
         "audio_features_docs": audio_features_docs,
         "zorder_key_lineitem": zorder_key_lineitem,
+        "hot_event_types": hot_event_types,
+        "weighted_sample_docs": weighted_sample_docs,
     }
 
 
@@ -1836,6 +1861,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "zorder_key_lineitem": _zorder_oracle(),
+        "hot_event_types": _frequent_items_oracle(),
+        "weighted_sample_docs": _weighted_sample_oracle(),
         # every feature is a closed form of the generating params (see the
         # query docstring); 1085102592571150095 = 0x0F0F0F0F0F0F0F0F, the
         # average-hash of any even-width half-bright image
@@ -2688,3 +2715,17 @@ def _zorder_oracle() -> str:
     key = z_order_key_sql(["l_quantity", "l_extendedprice"],
                           [(1.0, 50.0), (900.0, 105000.0)], bits=12)
     return (f"SELECT l_orderkey, l_linenumber, {key} AS zkey FROM lineitem")
+
+
+def _frequent_items_oracle() -> str:
+    from hyped_spark.operators.curation import frequent_items_sql
+
+    return frequent_items_sql("events", "event_type", 0.05)
+
+
+def _weighted_sample_oracle() -> str:
+    from hyped_spark.operators.curation import weighted_sample_sql
+
+    return weighted_sample_sql(
+        "(SELECT doc_id, lang, source, n_chars FROM documents)",
+        "doc_id", "n_chars", 50)

@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "canonical_url_orders",
     "audio_features_docs",
     "zorder_key_lineitem",
+    "hot_event_types",
+    "weighted_sample_docs",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

@@ -253,3 +253,90 @@ def pack_offsets(
         )
     )
     return out
+
+
+def frequent_items(df: DataFrame, col: str, support: float,
+                   round_dp: int = 6) -> DataFrame:
+    """Exact heavy hitters: values of ``col`` carried by at least a
+    ``support`` fraction of rows, with counts and fractions.
+
+    Scale shape: the grouped count is ONE partial+final aggregation (the
+    map-side combine means each executor ships at most its distinct values,
+    and any value above the support threshold is by definition carried by
+    ≤ 1/support distinct keys globally — the output is at most
+    ``1/support`` rows however big the input). The global total rides the
+    same scan via a grouping-sets-free trick: aggregate once, then a
+    broadcast join of the 1-row total. This is the hot-key detector that
+    feeds the CDC merge's salting decision (a key above ~1/n_partitions
+    support is exactly one that needs the salted pre-reduce path).
+    """
+    if not 0.0 < support <= 1.0:
+        raise ValueError(f"support must be in (0, 1], got {support}")
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("cnt") >= F.ceil(F.col("__total") * support))
+        .select(
+            col,
+            F.col("cnt"),
+            F.round(F.col("cnt") / F.col("__total"), round_dp).alias("frac"),
+        )
+    )
+
+
+def frequent_items_sql(table: str, col: str, support: float,
+                       round_dp: int = 6) -> str:
+    """DuckDB twin of :func:`frequent_items`."""
+    return f"""
+        SELECT {col}, count(*) AS cnt,
+               round(CAST(count(*) AS DOUBLE)
+                     / (SELECT count(*) FROM {table}), {round_dp}) AS frac
+        FROM {table}
+        GROUP BY {col}
+        HAVING count(*) >= ceil((SELECT count(*) FROM {table}) * {support!r})
+    """
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
+                    seed: str = "ws") -> DataFrame:
+    """Weighted random sample without replacement — the Efraimidis–Spirakis
+    A-ES scheme (keys ``u^(1/w)``, take the top k), with the uniform drawn
+    from a portable hash of the row key instead of an RNG, so the sample is
+    reproducible across runs, engines, and cluster sizes (same property as
+    ``split_by_hash``) and fully replayable in SQL.
+
+    Implementation detail: maximizing ``u^(1/w)`` is equivalent to
+    maximizing ``ln(u)/w`` (w > 0), which avoids ``pow`` and keeps the
+    score linear in the hash. Rows with non-positive weight never sample.
+    Top-k is TakeOrdered (per-partition heads, no global sort).
+    """
+    u = ((h64_col(F.concat(F.lit(seed + "|"), F.col(key_col).cast("string")),
+                  "md5") % _SPLIT_MOD) + 0.5) / _SPLIT_MOD
+    score = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__ws_score", score)
+        .orderBy(F.col("__ws_score").desc(), F.col(key_col))
+        .limit(k)
+        .drop("__ws_score")
+    )
+
+
+def weighted_sample_sql(table: str, key_expr: str, weight_expr: str, k: int,
+                        seed: str = "ws") -> str:
+    """DuckDB twin of :func:`weighted_sample` — same hash-uniform, same
+    score, same deterministic tiebreak."""
+    from hyped_spark.functions.hashing import h64_sql
+
+    h = h64_sql(f"'{seed}|' || CAST({key_expr} AS VARCHAR)")
+    return f"""
+        SELECT * EXCLUDE (__ws_score) FROM (
+            SELECT *, ln((({h}) % {_SPLIT_MOD} + 0.5) / {_SPLIT_MOD})
+                      / ({weight_expr}) AS __ws_score
+            FROM {table}
+            WHERE ({weight_expr}) > 0
+            ORDER BY __ws_score DESC, {key_expr}
+            LIMIT {k}
+        )
+    """

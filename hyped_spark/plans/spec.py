@@ -267,6 +267,20 @@ def _repetition_metrics(p: dict) -> Stage:
     return run
 
 
+@register("frequent_items")
+def _frequent_items(p: dict) -> Stage:
+    from hyped_spark.operators.curation import frequent_items
+    return lambda df: frequent_items(df, p["column"], p["support"],
+                                     round_dp=p.get("round_dp", 6))
+
+
+@register("weighted_sample")
+def _weighted_sample(p: dict) -> Stage:
+    from hyped_spark.operators.curation import weighted_sample
+    return lambda df: weighted_sample(df, p["key"], p["weight"], p["k"],
+                                      seed=p.get("seed", "ws"))
+
+
 @register("stratified_sample")
 def _stratified_sample(p: dict) -> Stage:
     from hyped_spark.operators.curation import stratified_sample

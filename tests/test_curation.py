@@ -279,3 +279,73 @@ def test_statistics_report_rejects_unknown_kind(spark):
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     with pytest.raises(ValueError, match="unknown statistic"):
         statistics_report(li, [{"kind": "mode", "col": "l_quantity"}])
+
+
+def test_frequent_items_exact(spark):
+    import pandas as pd
+
+    from hyped_spark.operators.curation import frequent_items
+
+    # 1000 rows: value 'a' x 400, 'b' x 99, 'c'.. spread
+    rows = ["a"] * 400 + ["b"] * 99 + [f"x{i}" for i in range(501)]
+    df = spark.createDataFrame(pd.DataFrame({"v": rows}))
+    got = {r.v: (r.cnt, r.frac) for r in
+           frequent_items(df, "v", 0.1).collect()}
+    assert got == {"a": (400, 0.4)}  # b is 9.9% < 10% — exact threshold
+    got2 = {r.v for r in frequent_items(df, "v", 0.099).collect()}
+    assert got2 == {"a", "b"}
+
+    import pytest
+    with pytest.raises(ValueError, match="support"):
+        frequent_items(df, "v", 0.0)
+
+
+def test_frequent_items_plan_bounded(spark):
+    from hyped_spark.operators.curation import frequent_items
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = frequent_items(df, "event_type", 0.05) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # partial+final grouped agg; the 1-row total arrives via broadcast
+    assert plan.count("HashAggregate") >= 2
+    assert "Broadcast" in plan
+
+
+def test_weighted_sample_deterministic_and_weighted(spark):
+    import pandas as pd
+
+    from hyped_spark.operators.curation import weighted_sample
+
+    pdf = pd.DataFrame({
+        "k": list(range(1000)),
+        "w": [1000.0 if i < 10 else (0.0 if i < 20 else 1.0)
+              for i in range(1000)],
+    })
+    df = spark.createDataFrame(pdf)
+    s1 = sorted(r.k for r in weighted_sample(df, "k", "w", 100).collect())
+    s2 = sorted(r.k for r in weighted_sample(df, "k", "w", 100).collect())
+    assert s1 == s2 and len(s1) == 100  # reproducible, exactly k
+    assert not any(10 <= k < 20 for k in s1)  # zero weights never sample
+    # the 10 thousand-fold-heavier rows should essentially always be in a
+    # 100-of-990 sample (P(miss) < 1e-6 per row under A-ES)
+    assert sum(1 for k in s1 if k < 10) == 10
+    # different seed → different sample
+    s3 = sorted(r.k for r in weighted_sample(df, "k", "w", 100, seed="z").collect())
+    assert s1 != s3
+
+
+def test_weighted_sample_duckdb_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from hyped_spark.operators.curation import weighted_sample, weighted_sample_sql
+
+    pdf = pd.DataFrame({"k": list(range(300)),
+                        "w": [(i % 7) + 0.5 for i in range(300)]})
+    df = spark.createDataFrame(pdf)
+    got = sorted(r.k for r in weighted_sample(df, "k", "w", 40).collect())
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = sorted(r[0] for r in con.execute(
+        weighted_sample_sql("t", "k", "w", 40)).fetchall())
+    assert got == want
