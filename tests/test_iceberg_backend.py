@@ -121,3 +121,17 @@ def test_purge_semantics_on_dataframe(spark):
     low = 5000
     kept = df.filter(~(F.col(TOMBSTONE) & (F.col("lsn") < low)))
     assert {r.url for r in kept.collect()} == {"a", "c", "d", "e"}
+
+
+def test_zorder_rewrite_sql():
+    import pytest
+
+    from hyped_spark.lake.iceberg_backend import zorder_rewrite_sql
+
+    call = zorder_rewrite_sql("lake.db.pages", ["url", "warc_ts"])
+    assert call == (
+        "CALL lake.system.rewrite_data_files(table => 'lake.db.pages', "
+        "strategy => 'sort', sort_order => 'zorder(url, warc_ts)')"
+    )
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_rewrite_sql("lake.db.pages", [])
