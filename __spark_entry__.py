@@ -1288,6 +1288,63 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(d, "doc_id", "n_chars", 50)
 
 
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type
+    (hyped_spark/operators/sketches.py: hll_count_distinct). Portable-hash
+    registers (md5 mode) make the ESTIMATE itself bit-replayable in DuckDB
+    — a full value oracle over an approximate operator. One partial+final
+    aggregate; at most 2^p rows per group cross the shuffle."""
+    from hyped_spark.operators.sketches import hll_count_distinct
+
+    ev = _load(spark, sf_dir, "events")
+    return hll_count_distinct(
+        ev, "user_id", p=10, group_cols=("event_type",), hash_mode="md5"
+    )
+
+
+def cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for every event type (sketches.py:
+    cms_sketch/cms_estimate). The sketch (<= depth*width rows) is the only
+    reduce-side state; probes join it broadcast. Deliberately narrow
+    (width=32) so collisions actually occur and the one-sided-overestimate
+    path is exercised — the oracle replays the identical counters."""
+    from hyped_spark.operators.sketches import cms_estimate, cms_sketch
+
+    ev = _load(spark, sf_dir, "events")
+    sk = cms_sketch(ev, "event_type", width=32, depth=3, hash_mode="md5")
+    keys = ev.select("event_type").distinct()
+    return cms_estimate(sk, keys, "event_type", 32, 3, hash_mode="md5")
+
+
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line-level dedup — the CCNet/RefinedWeb boilerplate
+    pass (hyped_spark/operators/dedup.py: line_dedup). The corpus has
+    single-line texts, so boilerplate is injected deterministically:
+    doc_id%3 docs get a cookie-notice first line (doc_id%6 a
+    whitespace/case variant that only normalization folds), doc_id%4 docs
+    a share-bar last line; every other first line is doc-unique. Lines
+    seen in >= 2 distinct docs are dropped everywhere. Payload crosses the
+    wire once; only (id, line-hash) pairs feed the frequency count."""
+    from hyped_spark.operators.dedup import line_dedup
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = d.withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.when(F.col("doc_id") % 6 == 0, F.lit(" cookie  NOTICE "))
+            .when(F.col("doc_id") % 3 == 0, F.lit("Cookie Notice"))
+            .otherwise(F.concat(F.lit("Doc "), F.col("doc_id"))),
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("  SHARE   this page")),
+        ),
+    )
+    out = line_dedup(injected, min_docs=2, hash_mode="md5")
+    return out.select(
+        "doc_id", "text", F.col("n_dropped_lines").cast("long").alias("n_dropped_lines")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1364,6 +1421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key_lineitem": zorder_key_lineitem,
         "hot_event_types": hot_event_types,
         "weighted_sample_docs": weighted_sample_docs,
+        "hll_distinct_users": hll_distinct_users,
+        "cms_event_counts": cms_event_counts,
+        "line_dedup_docs": line_dedup_docs,
     }
 
 
@@ -1874,7 +1934,79 @@ def oracle_sql() -> dict[str, str]:
                    1085102592571150095 AS phash
             FROM documents
         """,
+        "hll_distinct_users": _hll_oracle(),
+        "cms_event_counts": _cms_oracle(),
+        "line_dedup_docs": _line_dedup_oracle(),
     }
+
+
+def _hll_oracle() -> str:
+    from hyped_spark.operators.sketches import hll_count_distinct_sql
+
+    return hll_count_distinct_sql(
+        "events", "user_id", p=10, group_exprs=("event_type",)
+    )
+
+
+def _cms_oracle() -> str:
+    from hyped_spark.operators.sketches import cms_count_sql
+
+    return cms_count_sql(
+        "events", "event_type",
+        "SELECT DISTINCT event_type FROM events", "event_type", 32, 3,
+    )
+
+
+def _line_dedup_oracle() -> str:
+    # Replays injection + CCNet normalization, then drops lines whose
+    # normalized form appears in >= 2 distinct docs. Keyed on the
+    # normalized STRING where Spark keys on its md5-60bit hash —
+    # equivalent at 2^-60 collision odds (same argument as minhash).
+    return r"""
+        WITH injected AS (
+            SELECT doc_id,
+                   concat_ws(chr(10),
+                       CASE WHEN doc_id % 6 = 0 THEN ' cookie  NOTICE '
+                            WHEN doc_id % 3 = 0 THEN 'Cookie Notice'
+                            ELSE 'Doc ' || doc_id END,
+                       text,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN '  SHARE   this page' END
+                   ) AS text
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ls FROM injected
+        ),
+        lines AS (
+            SELECT doc_id, i, ls[i] AS line,
+                   lower(trim(regexp_replace(ls[i], '\s+', ' ', 'g'))) AS norm
+            FROM (SELECT doc_id, ls,
+                         unnest(generate_series(1, len(ls))) AS i
+                  FROM base)
+        ),
+        rep AS (
+            SELECT norm
+            FROM (SELECT DISTINCT doc_id, norm FROM lines)
+            GROUP BY norm HAVING count(*) >= 2
+        ),
+        kept AS (
+            SELECT l.doc_id, l.i, l.line
+            FROM lines l LEFT JOIN rep r ON l.norm = r.norm
+            WHERE r.norm IS NULL
+        ),
+        agg AS (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY i) AS text,
+                   count(*) AS n
+            FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               coalesce(a.text, '') AS text,
+               CAST(len(b.ls) - coalesce(a.n, 0) AS BIGINT)
+                   AS n_dropped_lines
+        FROM base b LEFT JOIN agg a USING (doc_id)
+    """
 
 
 def _lang_id_oracle() -> str:

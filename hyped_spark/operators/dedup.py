@@ -484,3 +484,93 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def line_hashes_col(text, normalize: bool = True,
+                    hash_mode: str = "xxhash64"):
+    """Per-line int64 hashes of a text column: ``array<long>``, one entry
+    per ``\\n``-separated line, hashed after optional normalization
+    (trim + lowercase + collapse inner whitespace — the CCNet recipe, so
+    cosmetic variants of the same boilerplate line collide)."""
+    from hyped_spark.functions.hashing import h64_col
+
+    lines = F.split(text, "\n")
+
+    def norm(line):
+        if not normalize:
+            return line
+        return F.lower(F.trim(F.regexp_replace(line, r"\s+", " ")))
+
+    return F.transform(lines, lambda line: h64_col(norm(line), hash_mode))
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    normalize: bool = True,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Cross-document line-level deduplication — the CCNet/RefinedWeb
+    boilerplate-removal pass: every line whose normalized form occurs in at
+    least ``min_docs`` DISTINCT documents is dropped from ALL documents
+    (cookie banners, share buttons, nav text survive exact- and near-dedup
+    because the surrounding article differs; they only fall out at line
+    granularity).
+
+    Scale shape (the 100 TB story): the document payload crosses the wire
+    exactly once. Line hashing is a native per-row projection; the
+    frequency count explodes only ``(id, line_hash)`` pairs — distinct
+    WITHIN the doc first, so ``count(*)`` per hash IS the distinct-doc
+    frequency with plain partial+final aggregation (no count-distinct
+    state). The per-doc drop-set is re-aggregated from those same id+hash
+    pairs and joined back on ``id`` — the single payload exchange. Line
+    text is never shuffled; the kept lines are re-assembled in place with
+    an indexed native ``filter`` + ``array_join``.
+
+    Returns the input frame with ``text_col`` rewritten to the kept lines
+    (empty string when everything was boilerplate) and an ``n_dropped_lines``
+    count. Reference analogue: none (the reference has no corpus-level
+    ops); pipeline role matches CCNet paragraph dedup (Wenzek et al. 2020).
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    base = df.withColumn(
+        "__lh", line_hashes_col(F.col(text_col), normalize, hash_mode)
+    )
+    pairs = base.select(
+        F.col(id_col), F.explode(F.array_distinct("__lh")).alias("__h")
+    )
+    repeated = (
+        pairs.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__h")
+    )
+    drop_sets = (
+        pairs.join(repeated, "__h")
+        .groupBy(id_col)
+        .agg(F.collect_set("__h").alias("__drop"))
+    )
+    empty = F.array().cast("array<bigint>")
+    out = (
+        base.join(drop_sets, id_col, "left")
+        .withColumn("__drop", F.coalesce(F.col("__drop"), empty))
+        .withColumn("__lines", F.split(F.col(text_col), "\n"))
+        .withColumn(
+            "__kept",
+            F.filter(
+                F.col("__lines"),
+                lambda line, i: ~F.array_contains(
+                    F.col("__drop"), F.element_at(F.col("__lh"), i + 1)
+                ),
+            ),
+        )
+        .withColumn(
+            "n_dropped_lines", F.size("__lines") - F.size("__kept")
+        )
+        .withColumn(text_col, F.array_join(F.col("__kept"), "\n"))
+        .drop("__lh", "__drop", "__lines", "__kept")
+    )
+    return out
