@@ -138,7 +138,16 @@ def main() -> None:
     # values, so these can't carry a DuckDB value oracle like the _fast
     # gram queries — quality is held by tests/test_dedup_quality.py; the
     # md5 entries above remain the oracle-checked contract queries)
-    from hyped_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+    from hyped_spark.operators.dedup import (
+        line_dedup,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from hyped_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+        hll_count_distinct,
+    )
 
     # selective-query BM25 with the term-presence prefilter: 'dup' hits
     # ~5% of the synthetic corpus, so the scoring/top-k input shrinks 20×
@@ -146,10 +155,31 @@ def main() -> None:
     from hyped_spark.operators.search import bm25_topk
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    # line_dedup scale twin: same boilerplate injection as the contract
+    # query, xxhash64 line hashing instead of the md5 oracle hash
+    import pyspark.sql.functions as F
+
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(F.col("doc_id") % 3 == 0, F.lit("Cookie Notice"))
+            .otherwise(F.concat(F.lit("Doc "), F.col("doc_id"))),
+            F.col("text"),
+        ).alias("text"),
+    )
+    cms = cms_sketch(ev, "event_type", width=1024, depth=4)
     for name, df in [
         ("bm25_search_pruned", bm25_topk(docs, "dup", k=20, prune=True)),
         ("minhash_pairs_scale", minhash_lsh_pairs(docs, min_jaccard=0.5)),
         ("simhash_pairs_scale", simhash_pairs(docs)),
+        ("hll_distinct_scale",
+         hll_count_distinct(ev, "user_id", p=12, group_cols=("event_type",))),
+        ("cms_counts_scale",
+         cms_estimate(cms, ev.select("event_type").distinct(),
+                      "event_type", 1024, 4)),
+        ("line_dedup_scale", line_dedup(lined)),
     ]:
         t0 = time.monotonic()
         df.write.mode("overwrite").format("noop").save()

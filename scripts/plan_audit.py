@@ -398,6 +398,43 @@ def main() -> None:
          ", false, 0" in p and ", true, 0" not in p),
     ]))
 
+    # sketches: fixed-size mergeable state, pure native aggregates
+    from hyped_spark.operators.dedup import line_dedup
+    from hyped_spark.operators.sketches import (
+        cms_estimate, cms_sketch, hll_count_distinct,
+    )
+
+    ev_sk = spark.read.parquet(f"{SF}/events.parquet")
+    p = plan_of(hll_count_distinct(ev_sk, "user_id", p=12,
+                                   group_cols=("event_type",)))
+    sections.append(("hll_count_distinct (register agg + estimate)", p, [
+        ("no Python eval", "Python" not in p),
+        ("no join", "Join" not in p),
+        # register agg + estimate agg; register shuffle carries <= 2^p
+        # rows per group (map-side max-combine), estimate input is tiny
+        ("two partial+final aggregates",
+         len(re.findall(r"\(\d+\) Exchange", p)) == 2
+         and p.count("HashAggregate") >= 4),
+    ]))
+    cms = cms_sketch(ev_sk, "event_type", width=1024, depth=4)
+    p = plan_of(cms_estimate(cms, ev_sk.select("event_type").distinct(),
+                             "event_type", 1024, 4))
+    sections.append(("cms sketch + estimate (broadcast probe)", p, [
+        ("sketch broadcast to probes", "BroadcastHashJoin" in p),
+        ("no sort-merge join", "SortMergeJoin" not in p),
+        ("no Python eval", "Python" not in p),
+    ]))
+    docs_ld = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.concat_ws("\n", F.lit("hdr"), "text").alias("text"))
+    p = plan_of(line_dedup(docs_ld))
+    ld_exch_args = re.findall(r"\(\d+\) Exchange\n(.*?)\n\n", p, re.S)
+    sections.append(("line_dedup (payload crosses the wire <= once)", p, [
+        ("no cartesian", "CartesianProduct" not in p),
+        ("no Python eval", "Python" not in p),
+        ("frequency count sees hashes only — text in <= 1 shuffle",
+         sum("text" in a for a in ld_exch_args) <= 1),
+    ]))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)\n"]
     all_ok = True
     for title, plan, checks in sections:

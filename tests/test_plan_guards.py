@@ -134,3 +134,42 @@ def test_rollup_single_exchange_expand(spark):
     p = _plan(entrymod.queries()["rollup_revenue"](spark, SF_DIR))
     assert _exchanges(p) == 1
     assert "Expand" in p
+
+
+def test_hll_pure_native_aggregates(spark):
+    """HLL must stay two partial+final hash aggregates — no UDF, no join;
+    the register shuffle carries at most 2^p rows per group."""
+    from hyped_spark.operators.sketches import hll_count_distinct
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    p = _plan(hll_count_distinct(ev, "user_id", p=12,
+                                 group_cols=("event_type",)))
+    assert "Python" not in p and "Join" not in p
+    assert _exchanges(p) == 2 and p.count("HashAggregate") >= 4
+
+
+def test_cms_probe_broadcasts_sketch(spark):
+    """The <= depth*width-row sketch broadcasts to the probe side; keys
+    never shuffle for the join."""
+    from hyped_spark.operators.sketches import cms_estimate, cms_sketch
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    sk = cms_sketch(ev, "event_type", width=1024, depth=4)
+    p = _plan(cms_estimate(sk, ev.select("event_type").distinct(),
+                           "event_type", 1024, 4))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "Python" not in p
+
+
+def test_line_dedup_payload_single_pass(spark):
+    """line_dedup's frequency count must see only (id, hash) pairs: the
+    document text appears in at most ONE shuffle exchange (the join back),
+    and nothing goes cartesian or through Python."""
+    from hyped_spark.operators.dedup import line_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.concat_ws("\n", F.lit("hdr"), "text").alias("text"))
+    p = _plan(line_dedup(docs))
+    assert "CartesianProduct" not in p and "Python" not in p
+    args = re.findall(r"\(\d+\) Exchange\n(.*?)\n\n", p, re.S)
+    assert sum("text" in a for a in args) <= 1
