@@ -585,6 +585,24 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "contaminated")
 
 
+def decontaminate_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (dedup.py: decontaminate_bloom — flag
+    mode, same 37-mod pseudo-eval split as decontaminate_docs). The bench
+    shingle set is folded into a FIXED-SIZE Bloom word table (m=2^14 bits,
+    k=4) that broadcasts at any benchmark size; corpus probes are k chained
+    map-side broadcast joins. One-sided: false positives over-flag only.
+    The oracle replays the identical bit layout, so even the FPs match."""
+    from hyped_spark.operators.dedup import decontaminate_bloom
+
+    d = _load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    corpus = d.filter(F.col("doc_id") % 37 != 0)
+    return decontaminate_bloom(
+        corpus, bench, shingle_n=3, m_bits=1 << 14, k=4,
+        hash_mode="md5", mode="flag",
+    ).select("doc_id", "contaminated")
+
+
 def repetition_docs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path twin of ``repetition_docs``: grams collapse to native
     multi-arg xxhash64 longs (no gram strings built, distinct over 8-byte
@@ -1424,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users": hll_distinct_users,
         "cms_event_counts": cms_event_counts,
         "line_dedup_docs": line_dedup_docs,
+        "decontaminate_bloom_docs": decontaminate_bloom_docs,
     }
 
 
@@ -1937,6 +1956,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_users": _hll_oracle(),
         "cms_event_counts": _cms_oracle(),
         "line_dedup_docs": _line_dedup_oracle(),
+        "decontaminate_bloom_docs": _decontaminate_bloom_oracle(),
     }
 
 
@@ -2115,6 +2135,50 @@ def _decontaminate_oracle(bench_mod: int, shingle_n: int = 3) -> str:
                len(list_intersect(sh.shingles, bl.bs)) > 0 AS contaminated
         FROM sh CROSS JOIN bl
         WHERE sh.doc_id % {bench_mod} <> 0
+    """
+
+
+def _decontaminate_bloom_oracle(
+    bench_mod: int = 37, shingle_n: int = 3,
+    m_bits: int = 1 << 14, k: int = 4,
+) -> str:
+    """DuckDB twin of decontaminate_bloom_docs: the bench shingles fold
+    into the same 63-bit-word Bloom table, corpus shingles probe the same
+    k positions — so the false positives themselves replay exactly."""
+    from hyped_spark.operators.sketches import bloom_member_sql
+
+    n = shingle_n
+    sh_hash = _H60.format(
+        expr=f"array_to_string(list_slice(t, i, i + {n - 1}), ' ')"
+    )
+    sh_short = _H60.format(expr="coalesce(array_to_string(t, ' '), '')")
+    member = bloom_member_sql(
+        build_sql=(
+            "SELECT DISTINCT unnest(shingles) AS s FROM sh "
+            f"WHERE doc_id % {bench_mod} = 0"
+        ),
+        build_expr="s",
+        keys_sql="SELECT DISTINCT s FROM pairs",
+        key_name="s",
+        m_bits=m_bits,
+        k=k,
+    )
+    return f"""
+        WITH {_TOKS_CTE}, sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= {n} THEN
+                     list_distinct([{sh_hash} for i in range(1, len(t) - {n - 1} + 1)])
+                   ELSE [{sh_short}] END AS shingles
+            FROM toks
+        ),
+        pairs AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+            WHERE doc_id % {bench_mod} <> 0
+        ),
+        member AS ({member})
+        SELECT p.doc_id, bool_or(m.member) AS contaminated
+        FROM pairs p JOIN member m USING (s)
+        GROUP BY p.doc_id
     """
 
 

@@ -407,6 +407,61 @@ def decontaminate(
     raise ValueError(f"unknown decontaminate mode: {mode!r}")
 
 
+def decontaminate_bloom(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 13,
+    m_bits: int = 1 << 22,
+    k: int = 5,
+    hash_mode: str = "xxhash64",
+    mode: str = "drop",
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter of the benchmark's
+    shingles (sketches.py: bloom_build/bloom_probe) instead of the exact
+    shingle set.
+
+    Why it exists next to :func:`decontaminate`: the exact path broadcasts
+    every distinct benchmark shingle hash (8 bytes each — fine for one eval
+    set, but a consolidated eval registry of ~1e9 shingles is an 8 GB
+    broadcast). The Bloom word table is FIXED-SIZE (m_bits/64 rows;
+    m_bits=2^22 → 64 KB) whatever the benchmark size, and OR-merges across
+    eval sets. The price is the filter's one-sided FPR (~1% at 10
+    bits/key): a false positive can only OVER-drop — no contaminated doc
+    is ever kept — which is the safe direction for decontamination.
+    Corpus text never shuffles; only (id, shingle-probe) pairs move, and
+    the verdict re-joins on ids.
+    """
+    from hyped_spark.operators.sketches import bloom_build, bloom_probe
+
+    bench_sh = (
+        with_shingles(benchmark, text_col, shingle_n, hash_mode)
+        .select(F.explode("__shingles").alias("__s"))
+        .distinct()
+    )
+    bloom = bloom_build(bench_sh, "__s", m_bits, k, hash_mode=hash_mode)
+    doc_sh = with_shingles(
+        spread(df.select(F.col(id_col), F.col(text_col))),
+        text_col, shingle_n, hash_mode,
+    ).select(F.col(id_col), F.explode("__shingles").alias("__s"))
+    probed = bloom_probe(
+        bloom, doc_sh, "__s", m_bits, k, hash_mode=hash_mode
+    )
+    hits = F.broadcast(
+        probed.filter(F.col("member")).select(id_col).distinct()
+    )
+    if mode == "flag":
+        return df.join(
+            hits.withColumn("contaminated", F.lit(True)), id_col, "left"
+        ).withColumn(
+            "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+        )
+    if mode == "drop":
+        return df.join(hits, id_col, "left_anti")
+    raise ValueError(f"unknown decontaminate mode: {mode!r}")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -298,3 +298,157 @@ def cms_count_sql(
         FROM probes p LEFT JOIN sk USING (d, w)
         GROUP BY p.{key_name}
     """
+
+
+# ------------------------------------------------------------------ Bloom
+
+def _bloom_positions(value_str, m_bits: int, k: int, seed: str,
+                     hash_mode: str):
+    """k seeded bit positions for one value (list of Columns)."""
+    return [
+        F.pmod(
+            h64_col(F.concat(F.lit(f"{seed}|{i}|"), value_str), hash_mode),
+            F.lit(m_bits),
+        )
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m_bits: int = 1 << 22,
+    k: int = 5,
+    seed: str = "bloom",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Bloom filter over the values of ``col``, as a SPARSE word table:
+    one row per occupied word — ``(w, bits)``, 63 bits per word so the
+    sign bit is never set (DuckDB's checked ``<<`` refuses ``1 << 63``) — built with a single
+    partial+final ``bit_or`` aggregate. At most ``m_bits / 63 + 1`` rows
+    leave the map side whatever the input size, and two filters with the same
+    (m_bits, k, seed, hash_mode) merge by OR (:func:`bloom_merge`).
+
+    Unlike Spark's JVM-internal ``DataFrameStatFunctions.bloomFilter``,
+    the bit layout is the repo's portable hash, so in md5 mode membership
+    answers replay bit-for-bit in DuckDB (:func:`bloom_member_sql`).
+    Size for ~10 bits/key: FPR ≈ (1 - e^(-k·n/m))^k ≈ 1% at k=5.
+    """
+    if m_bits < 64:
+        raise ValueError(f"m_bits must be >= 64, got {m_bits}")
+    if not 1 <= k <= 16:
+        raise ValueError(f"k must be in [1, 16], got {k}")
+    v = F.col(col).cast("string")
+    pos = F.array(*_bloom_positions(v, m_bits, k, seed, hash_mode))
+    word = df.select(F.explode(pos).alias("__p")).select(
+        F.expr("__p div 63").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 63 AS INT))").alias(
+            "__m"
+        ),
+    )
+    return word.groupBy("w").agg(F.bit_or("__m").alias("bits"))
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """OR-merge Bloom word tables built with identical parameters."""
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("w").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int,
+    k: int,
+    seed: str = "bloom",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Membership test for every row of ``keys``: adds a ``member``
+    boolean (true = maybe-present with the filter's FPR; false = certainly
+    absent). STRICTLY map-side: the word table (≤ m_bits/64 rows) is
+    broadcast and each of the k probes is its own broadcast hash join —
+    no explode, no re-aggregation, keys NEVER shuffle and keep all their
+    columns. (An explode + groupBy formulation would shuffle one row per
+    (key, probe) — corpus-sized at scale; k chained map-side joins cost
+    only plan width.)"""
+    v = F.col(key_col).cast("string")
+    out = keys
+    hit_terms = []
+    for i, pos in enumerate(_bloom_positions(v, m_bits, k, seed, hash_mode)):
+        w_i, b_i, m_i = f"__bf_w{i}", f"__bf_b{i}", f"__bf_m{i}"
+        out = (
+            out.withColumn(w_i, pos.cast("long"))
+            .withColumn(
+                m_i,
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({w_i} % 63 AS INT))"
+                ),
+            )
+            .withColumn(w_i, F.expr(f"{w_i} div 63"))
+            .join(
+                F.broadcast(
+                    bloom.select(
+                        F.col("w").alias(w_i), F.col("bits").alias(b_i)
+                    )
+                ),
+                w_i,
+                "left",
+            )
+        )
+        hit_terms.append(
+            F.col(b_i).isNotNull()
+            & (F.col(b_i).bitwiseAND(F.col(m_i)) == F.col(m_i))
+        )
+    member = hit_terms[0]
+    for t in hit_terms[1:]:
+        member = member & t
+    drop = [c for i in range(k) for c in (f"__bf_w{i}", f"__bf_b{i}", f"__bf_m{i}")]
+    return out.withColumn("member", member).drop(*drop)
+
+
+def bloom_member_sql(
+    build_sql: str,
+    build_expr: str,
+    keys_sql: str,
+    key_name: str,
+    m_bits: int,
+    k: int,
+    seed: str = "bloom",
+) -> str:
+    """DuckDB twin of build-then-probe (md5 mode): same seeded positions,
+    same word/bit layout, same all-k conjunction — bit-for-bit parity.
+    ``build_sql`` yields the set rows (column ``build_expr``); ``keys_sql``
+    the probe rows (column ``key_name``)."""
+    def pos(expr: str, i: int) -> str:
+        salted = "'" + f"{seed}|{i}|" + f"' || CAST({expr} AS VARCHAR)"
+        return f"({h64_sql(salted)}) % {m_bits}"
+
+    set_rows = " UNION ALL ".join(
+        f"SELECT {pos(build_expr, i)} AS p FROM b" for i in range(k)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {key_name}, {pos(key_name, i)} AS p FROM keys"
+        for i in range(k)
+    )
+    return f"""
+        WITH b AS ({build_sql}),
+        keys AS ({keys_sql}),
+        words AS (
+            SELECT p // 63 AS w,
+                   bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+            FROM ({set_rows}) GROUP BY p // 63
+        ),
+        probes AS (
+            SELECT {key_name}, p // 63 AS w,
+                   1::BIGINT << CAST(p % 63 AS INT) AS m
+            FROM ({probe_rows})
+        )
+        SELECT p.{key_name},
+               bool_and(wd.bits IS NOT NULL AND (wd.bits & p.m) = p.m)
+                   AS member
+        FROM probes p LEFT JOIN words wd USING (w)
+        GROUP BY p.{key_name}
+    """

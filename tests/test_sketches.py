@@ -212,3 +212,112 @@ def test_line_dedup_no_normalize_keeps_variants(spark):
            for r in line_dedup(df, normalize=False).collect()}
     # case differs -> hashes differ -> nothing dropped
     assert out == {1: "Cookie Notice\na", 2: "cookie notice\nb"}
+
+
+# ----------------------------------------------------------------- Bloom
+
+def test_bloom_no_false_negatives_and_absent_keys_reject(spark):
+    from hyped_spark.operators.sketches import bloom_build, bloom_probe
+
+    present = spark.range(2_000).select(
+        F.concat(F.lit("in-"), F.col("id")).alias("v"))
+    absent = spark.range(2_000).select(
+        F.concat(F.lit("out-"), F.col("id")).alias("v"))
+    b = bloom_build(present, "v", m_bits=1 << 15, k=5)  # ~16 bits/key
+    hits = bloom_probe(b, present, "v", 1 << 15, 5)
+    assert hits.filter(~F.col("member")).count() == 0  # never a false neg
+    fp = bloom_probe(b, absent, "v", 1 << 15, 5).filter("member").count()
+    assert fp < 100  # FPR ~ (1-e^-kn/m)^k ~= 0.2% here; 5% is generous
+
+
+def test_bloom_merge_equals_whole(spark):
+    from hyped_spark.operators.sketches import bloom_build, bloom_merge
+
+    df = spark.range(5_000).select(F.col("id").cast("string").alias("v"))
+    whole = bloom_build(df, "v", 1 << 12, 4)
+    merged = bloom_merge(
+        bloom_build(df.filter("id % 2 = 0"), "v", 1 << 12, 4),
+        bloom_build(df.filter("id % 2 = 1"), "v", 1 << 12, 4),
+    )
+    assert whole.exceptAll(merged).count() == 0
+    assert merged.exceptAll(whole).count() == 0
+
+
+def test_bloom_duckdb_twin_bit_parity(spark):
+    from hyped_spark.operators.sketches import (
+        bloom_build, bloom_member_sql, bloom_probe,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    built = ev.filter("event_type = 'click'").select("user_id")
+    b = bloom_build(built, "user_id", 1 << 10, 4, hash_mode="md5")
+    keys = ev.select("user_id").distinct()
+    got = {
+        (r["user_id"], r["member"])
+        for r in bloom_probe(
+            b, keys, "user_id", 1 << 10, 4, hash_mode="md5"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    want = set(con.execute(bloom_member_sql(
+        "SELECT DISTINCT user_id AS s FROM events WHERE event_type = 'click'",
+        "s", "SELECT DISTINCT user_id FROM events", "user_id", 1 << 10, 4,
+    )).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_bloom_probe_is_pure_map_side(spark):
+    """The probe must add NO shuffle: k broadcast joins only."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from hyped_spark.operators.sketches import bloom_build, bloom_probe
+
+    df = spark.range(100).select(F.col("id").cast("string").alias("v"))
+    b = bloom_build(df, "v", 1 << 10, 4)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bloom_probe(b, df, "v", 1 << 10, 4).explain("formatted")
+    p = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Exchange hashpartitioning", p)) == 0
+    assert "BroadcastHashJoin" in p and "Python" not in p
+
+
+def test_bloom_rejects_bad_params(spark):
+    from hyped_spark.operators.sketches import bloom_build
+
+    df = spark.range(1).select(F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_build(df, "v", m_bits=32)
+    with pytest.raises(ValueError, match="k must"):
+        bloom_build(df, "v", k=0)
+
+
+def test_decontaminate_bloom_superset_of_exact_and_converges(spark):
+    """Bloom flags must contain every exact flag (one-sided), and at
+    generous sizing the flag sets coincide on this corpus."""
+    from hyped_spark.operators.dedup import decontaminate, decontaminate_bloom
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    corpus = d.filter(F.col("doc_id") % 37 != 0)
+    exact = {
+        r["doc_id"]
+        for r in decontaminate(corpus, bench, shingle_n=3, mode="flag")
+        .filter("contaminated").collect()
+    }
+    bloomed = {
+        r["doc_id"]
+        for r in decontaminate_bloom(
+            corpus, bench, shingle_n=3, m_bits=1 << 20, k=5, mode="flag"
+        ).filter("contaminated").collect()
+    }
+    assert exact <= bloomed          # never under-flags
+    assert bloomed == exact          # 2^20 bits: FPs vanish at this scale
+    # drop mode keeps exactly the unflagged docs
+    kept = decontaminate_bloom(
+        corpus, bench, shingle_n=3, m_bits=1 << 20, k=5, mode="drop"
+    ).count()
+    assert kept == corpus.count() - len(bloomed)
