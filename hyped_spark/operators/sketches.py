@@ -104,8 +104,11 @@ def hll_estimate(
     # (python-side F.shiftleft only takes a literal shift; the SQL form
     # accepts the rho expression)
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {b + 1} - rho)")
+    # coalesce: a GLOBAL aggregate over an empty register table still emits
+    # one row (null sum); 0 makes every bucket empty -> linear counting ->
+    # m * ln(m/m) = exactly 0, the right answer for an empty set
     agg = registers.groupBy(*group_cols).agg(
-        F.sum(term).alias("__occ_sum"),
+        F.coalesce(F.sum(term), F.lit(0)).alias("__occ_sum"),
         F.count(F.lit(1)).alias("__occ"),
     )
     empty = F.lit(m) - F.col("__occ")
@@ -163,7 +166,8 @@ def hll_count_distinct_sql(
         ),
         agg AS (
             SELECT {gsel}
-                   sum((1::BIGINT << ({b + 1} - rho)))::BIGINT AS occ_sum,
+                   coalesce(sum((1::BIGINT << ({b + 1} - rho)))::BIGINT,
+                            0) AS occ_sum,
                    count(*) AS occ
             FROM regs {gby}
         )
