@@ -1363,6 +1363,77 @@ def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOCKED_DOMAINS = ["site3.org", "s2.site5.org", "w1.s4.site9.org",
+                    "bad.example"]
+
+
+def _doc_url_col() -> F.Column:
+    """Deterministic crawl-style URL per document: deep hosts
+    ``w{id%3}.s{id%7}.site{id%10}.org`` for most docs, bare registrable
+    hosts ``site{id%10}.org`` for every 4th — so suffix matching and
+    registrable-domain grouping both get exercised at every depth."""
+    did = F.col("doc_id")
+    host = F.when(
+        did % 4 == 0,
+        F.concat(F.lit("site"), (did % 10).cast("string"), F.lit(".org")),
+    ).otherwise(
+        F.concat(
+            F.lit("w"), (did % 3).cast("string"),
+            F.lit(".s"), (did % 7).cast("string"),
+            F.lit(".site"), (did % 10).cast("string"), F.lit(".org"),
+        )
+    )
+    return F.concat(F.lit("https://"), host, F.lit("/p/"),
+                    did.cast("string"))
+
+
+_DOC_URL_SQL = (
+    "'https://' || CASE WHEN doc_id % 4 = 0 THEN"
+    " 'site' || (doc_id % 10) || '.org'"
+    " ELSE 'w' || (doc_id % 3) || '.s' || (doc_id % 7)"
+    " || '.site' || (doc_id % 10) || '.org' END"
+    " || '/p/' || doc_id"
+)
+
+
+def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist filtering
+    (hyped_spark/operators/curation.py: filter_blocklisted_urls) in flag
+    mode: a doc is blocked iff ANY dot-suffix of its URL's host is a listed
+    domain. The list covers all match depths — a registrable domain
+    (site3.org, blocks deep subdomains too), a mid-level subdomain
+    (s2.site5.org), an exact full host (w1.s4.site9.org), and a
+    never-matching entry. Blocklist broadcasts; corpus payload never
+    shuffles (decontaminate-shaped semi/anti join on exploded suffixes)."""
+    from hyped_spark.operators.curation import filter_blocklisted_urls
+
+    d = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", _doc_url_col().alias("url"))
+    )
+    bl = spark.createDataFrame([(x,) for x in _BLOCKED_DOMAINS],
+                               "domain string")
+    out = filter_blocklisted_urls(d, bl, mode="flag")
+    return out.select("doc_id", "url", "blocked")
+
+
+def cap_domain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap (hyped_spark/operators/curation.py:
+    cap_per_domain): keep at most 3 docs per registrable domain
+    (last-2-label heuristic), selected by a portable md5 hash of the URL so
+    the subsample is uniform and bit-reproducible in both engines. ONE
+    domain-keyed exchange; WindowGroupLimit drops over-quota rows
+    map-side."""
+    from hyped_spark.operators.curation import cap_per_domain
+
+    d = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", _doc_url_col().alias("url"))
+    )
+    out = cap_per_domain(d, k=3, hash_mode="md5", domain_out="domain")
+    return out.select("doc_id", "url", "domain")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1443,6 +1514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_event_counts": cms_event_counts,
         "line_dedup_docs": line_dedup_docs,
         "decontaminate_bloom_docs": decontaminate_bloom_docs,
+        "blocklist_filter_docs": blocklist_filter_docs,
+        "cap_domain_docs": cap_domain_docs,
     }
 
 
@@ -1957,6 +2030,8 @@ def oracle_sql() -> dict[str, str]:
         "cms_event_counts": _cms_oracle(),
         "line_dedup_docs": _line_dedup_oracle(),
         "decontaminate_bloom_docs": _decontaminate_bloom_oracle(),
+        "blocklist_filter_docs": _blocklist_filter_oracle(),
+        "cap_domain_docs": _cap_domain_oracle(),
     }
 
 
@@ -2883,6 +2958,33 @@ def _stats_report_oracle() -> str:
         for i, (name, _) in enumerate(cols)
     )
     return f"WITH a AS (SELECT {sels} FROM lineitem) {rows}"
+
+
+def _blocklist_filter_oracle() -> str:
+    """DuckDB replays the suffix-set blocklist match: host extraction,
+    every dot-suffix via a list comprehension, EXISTS against the same
+    literal domain list."""
+    from hyped_spark.functions.url import domain_suffixes_sql, host_sql
+
+    sufx = domain_suffixes_sql(f"({host_sql('url')})")
+    vals = ", ".join(f"('{d}')" for d in _BLOCKED_DOMAINS)
+    return f"""
+        WITH d AS (SELECT doc_id, {_DOC_URL_SQL} AS url FROM documents)
+        SELECT doc_id, url,
+               EXISTS (SELECT 1 FROM (VALUES {vals}) b(domain)
+                       WHERE list_contains({sufx}, b.domain)) AS blocked
+        FROM d
+    """
+
+
+def _cap_domain_oracle() -> str:
+    from hyped_spark.operators.curation import cap_per_domain_sql
+
+    inner = cap_per_domain_sql("d", "url", 3, domain_out="domain")
+    return f"""
+        WITH d AS (SELECT doc_id, {_DOC_URL_SQL} AS url FROM documents)
+        SELECT doc_id, url, domain FROM ({inner})
+    """
 
 
 def _canonical_url_oracle() -> str:

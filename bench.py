@@ -91,6 +91,10 @@ BENCH_QUERIES = [
     "zorder_key_lineitem",
     "hot_event_types",
     "weighted_sample_docs",
+    # web curation: UT1-style suffix blocklist (broadcast semi/anti join)
+    # and per-domain quota cap (one exchange + WindowGroupLimit)
+    "blocklist_filter_docs",
+    "cap_domain_docs",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

@@ -64,3 +64,82 @@ def canonical_url_sql(expr: str) -> str:
     e = f"regexp_replace({e}, '(://[^/?#]+/[^?#]*[^/?#])/(\\?)', '\\1\\2')"
     e = f"regexp_replace({e}, '(://[^/?#]+/[^?#]*[^/?#])/$', '\\1')"
     return e
+
+
+def host_col(url: Column) -> Column:
+    """Lowercased host of a URL — no scheme, userinfo, port, or path.
+    Native regexp only (lookaround-free, Java ≡ RE2)."""
+    host = F.regexp_extract(
+        F.trim(url), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+    )
+    host = F.regexp_replace(host, r"^[^@/]*@", "")
+    host = F.regexp_replace(host, r":\d*$", "")
+    return F.lower(host)
+
+
+def host_sql(expr: str) -> str:
+    """DuckDB twin of :func:`host_col`."""
+    e = (f"coalesce(regexp_extract(trim({expr}), "
+         f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')")
+    e = f"regexp_replace({e}, '^[^@/]*@', '')"
+    e = f"regexp_replace({e}, ':[0-9]*$', '')"
+    return f"lower({e})"
+
+
+def domain_suffixes_col(host: Column) -> Column:
+    """Every dot-suffix of a host, most-specific first:
+    ``a.b.example.com`` → ``[a.b.example.com, b.example.com, example.com,
+    com]``. A host is blocklisted iff ANY suffix is a listed domain — the
+    standard registrable-domain match for UT1-style blocklists. Native
+    (split + transform over a sequence); empty host → empty array."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    out = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n), "."),
+    )
+    return F.when(host == "", F.array().cast("array<string>")).otherwise(out)
+
+
+def domain_suffixes_sql(expr: str) -> str:
+    """DuckDB twin of :func:`domain_suffixes_col`."""
+    return (
+        f"CASE WHEN {expr} = '' THEN [] ELSE "
+        f"[array_to_string(string_split({expr}, '.')[i:], '.') "
+        f"for i in generate_series(1, len(string_split({expr}, '.')))] END"
+    )
+
+
+def blocked_url_col(url: Column, domains: list[str]) -> Column:
+    """Map-only blocklist probe for a SMALL literal domain list: true iff
+    any dot-suffix of the URL's host is in ``domains``. Zero joins, zero
+    shuffles — the list is baked into the expression, so use it for
+    hand-written deny lists (tens of entries); for UT1-scale lists (millions
+    of domains) use
+    :func:`hyped_spark.operators.curation.filter_blocklisted_urls`, which
+    broadcasts the list as a DataFrame instead of compiling it into the
+    plan."""
+    lits = F.array(*[F.lit(d.strip().lower()) for d in domains])
+    return F.arrays_overlap(domain_suffixes_col(host_col(url)), lits)
+
+
+def registrable_domain_col(host: Column, n_labels: int = 2) -> Column:
+    """Last ``n_labels`` dot-labels of a host — the cheap stand-in for the
+    registrable domain (``w3.news.example.com`` → ``example.com``). A real
+    deployment would consult the Public Suffix List (``co.uk`` has three
+    labels); the PSL is a data file, not an algorithm, so the label count is
+    parameterized instead of vendored. Hosts with ≤ ``n_labels`` labels pass
+    through unchanged. Native split/slice — codegen, no UDF."""
+    parts = F.split(host, r"\.")
+    return F.when(F.size(parts) <= n_labels, host).otherwise(
+        F.array_join(F.slice(parts, -n_labels, n_labels), ".")
+    )
+
+
+def registrable_domain_sql(expr: str, n_labels: int = 2) -> str:
+    """DuckDB twin of :func:`registrable_domain_col`."""
+    p = f"string_split({expr}, '.')"
+    return (
+        f"CASE WHEN len({p}) <= {n_labels} THEN {expr} "
+        f"ELSE array_to_string({p}[-{n_labels}:], '.') END"
+    )

@@ -340,3 +340,119 @@ def weighted_sample_sql(table: str, key_expr: str, weight_expr: str, k: int,
             LIMIT {k}
         )
     """
+
+
+def filter_blocklisted_urls(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    mode: str = "drop",
+    flag_col: str = "blocked",
+) -> DataFrame:
+    """UT1-style domain blocklist filtering: drop (``mode="drop"``) or flag
+    (``mode="flag"``) rows whose URL's host has ANY dot-suffix listed in
+    ``blocklist[domain_col]`` — so a listed ``example.com`` blocks
+    ``w3.ads.example.com`` too (the standard registrable-domain match of
+    UT1 / web-curation deny lists).
+
+    The 100 TB shape mirrors :func:`hyped_spark.operators.dedup.decontaminate`:
+    the blocklist (even UT1's ~4M domains ≈ tens of MB) broadcasts; the
+    corpus side explodes a (url, suffix) projection — ~3 suffixes/host,
+    ids-only, never the payload — and semi-joins map-side against the
+    broadcast list. The blocked-URL set (normally a small fraction of the
+    corpus) is then broadcast back for a map-side anti/left join, so the
+    corpus payload NEVER shuffles. For literal lists of a few dozen domains
+    :func:`hyped_spark.functions.url.blocked_url_col` is the zero-join
+    per-row variant.
+    """
+    from hyped_spark.functions.url import domain_suffixes_col, host_col
+
+    bl = blocklist.select(F.lower(F.trim(F.col(domain_col))).alias("__sfx"))
+    sufx = df.select(F.col(url_col).alias("__u")).select(
+        "__u",
+        F.explode(
+            domain_suffixes_col(host_col(F.col("__u")))
+        ).alias("__sfx"),
+    )
+    hits = F.broadcast(
+        sufx.join(F.broadcast(bl), "__sfx", "left_semi")
+        .select("__u").distinct()
+    )
+    if mode == "flag":
+        out = df.join(
+            hits.withColumn(flag_col, F.lit(True)),
+            df[url_col] == hits["__u"], "left",
+        ).drop("__u")
+        return out.withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(False)))
+    if mode == "drop":
+        return df.join(hits, df[url_col] == hits["__u"], "left_anti")
+    raise ValueError(f"unknown blocklist mode: {mode!r}")
+
+
+def cap_per_domain(
+    df: DataFrame,
+    url_col: str = "url",
+    k: int = 100,
+    order_col: str | None = None,
+    n_labels: int = 2,
+    hash_mode: str = "xxhash64",
+    domain_out: str | None = None,
+) -> DataFrame:
+    """Per-domain quota cap: keep at most ``k`` rows per registrable domain
+    (last ``n_labels`` host labels) — the crawl-curation guard that stops a
+    single site from dominating a training mix.
+
+    Selection is deterministic: rows rank by ``order_col`` if given (e.g. a
+    quality score), else by a hash of the URL (``hash_mode="md5"`` makes the
+    ranking portable / SQL-replayable; default ``xxhash64`` is the cheap
+    scale path) — a stable uniform subsample rather than an
+    order-of-appearance artifact. Ties break on the URL string.
+
+    Scale shape: ONE hash exchange on the domain key; the rank-≤-k filter
+    sits directly on ``row_number`` so Spark inserts WindowGroupLimit and
+    drops over-quota rows map-side before the shuffle (same plan as
+    ``exact_dedup``). No payload moves twice, no driver state.
+    """
+    from hyped_spark.functions.url import host_col, registrable_domain_col
+
+    dom = registrable_domain_col(host_col(F.col(url_col)), n_labels)
+    out = df.withColumn("__dom", dom)
+    ordc = (F.col(order_col) if order_col
+            else h64_col(F.col(url_col), hash_mode))
+    w = Window.partitionBy("__dom").orderBy(ordc.asc(), F.col(url_col).asc())
+    out = (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    if domain_out:
+        return out.withColumnRenamed("__dom", domain_out)
+    return out.drop("__dom")
+
+
+def cap_per_domain_sql(
+    table: str,
+    url_expr: str = "url",
+    k: int = 100,
+    order_expr: str | None = None,
+    n_labels: int = 2,
+    domain_out: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`cap_per_domain` (portable md5 ranking)."""
+    from hyped_spark.functions.hashing import h64_sql
+    from hyped_spark.functions.url import host_sql, registrable_domain_sql
+
+    dom = registrable_domain_sql(f"({host_sql(url_expr)})", n_labels)
+    ordc = order_expr or h64_sql(url_expr)
+    dom_alias = domain_out or "__dom"
+    drop = "(__rn)" if domain_out else "(__dom, __rn)"
+    return f"""
+        SELECT * EXCLUDE {drop} FROM (
+            SELECT t.*, {dom} AS {dom_alias},
+                   row_number() OVER (PARTITION BY {dom}
+                                      ORDER BY {ordc} ASC, {url_expr} ASC)
+                       AS __rn
+            FROM {table} t
+        ) WHERE __rn <= {k}
+    """

@@ -380,6 +380,36 @@ def _z_order(p: dict) -> Stage:
     )
 
 
+@register("blocklist_filter")
+def _blocklist_filter(p: dict) -> Stage:
+    """Domain blocklist referenced by path (one ``domain`` column, any
+    readable format) — the declarative form of the two-input operator,
+    same pattern as ``decontaminate``."""
+    from hyped_spark.operators.curation import filter_blocklisted_urls
+
+    def run(df: DataFrame) -> DataFrame:
+        reader = getattr(df.sparkSession.read, p.get("format", "parquet"))
+        bl = reader(p["blocklist_path"])
+        return filter_blocklisted_urls(
+            df, bl,
+            url_col=p.get("url_col", "url"),
+            domain_col=p.get("domain_col", "domain"),
+            mode=p.get("mode", "drop"),
+        )
+    return run
+
+
+@register("cap_per_domain")
+def _cap_per_domain(p: dict) -> Stage:
+    from hyped_spark.operators.curation import cap_per_domain
+    return lambda df: cap_per_domain(
+        df, url_col=p.get("url_col", "url"), k=p.get("k", 100),
+        order_col=p.get("order_col"), n_labels=p.get("n_labels", 2),
+        hash_mode=p.get("hash_mode", "xxhash64"),
+        domain_out=p.get("domain_out"),
+    )
+
+
 @register("repartition")
 def _repartition(p: dict) -> Stage:
     cols = [F.col(c) for c in p.get("columns", [])]

@@ -435,6 +435,27 @@ def main() -> None:
          sum("text" in a for a in ld_exch_args) <= 1),
     ]))
 
+    # blocklist filter: list broadcasts, corpus payload never shuffles
+    p = plan_of(q["blocklist_filter_docs"](spark, SF))
+    sections.append(("blocklist_filter_docs (broadcast suffix semi-join)", p, [
+        ("both joins broadcast-hash",
+         len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 2),
+        ("no sort-merge join", "SortMergeJoin" not in p),
+        ("no cartesian", "CartesianProduct" not in p),
+        # ("Python" alone false-positives on the literal blocklist's
+        #  applySchemaToPythonRDD scan name)
+        ("no Python eval", "EvalPython" not in p and "InPandas" not in p),
+    ]))
+
+    # per-domain quota: one domain exchange, over-quota dropped map-side
+    p = plan_of(q["cap_domain_docs"](spark, SF))
+    sections.append(("cap_domain_docs (windowed quota, map-side limit)", p, [
+        ("single exchange", len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+        ("rank-limit pushed below the shuffle (partial WindowGroupLimit)",
+         len(re.findall(r"\(\d+\) WindowGroupLimit", p)) >= 2),
+        ("no Python eval", "Python" not in p),
+    ]))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)\n"]
     all_ok = True
     for title, plan, checks in sections:

@@ -1,0 +1,141 @@
+"""Domain blocklist filtering and per-domain quota caps.
+
+The webtext-curation pair every crawl pipeline runs between "fetched" and
+"training mix": drop documents from deny-listed domains (UT1-style suffix
+match) and cap any single domain's share of the corpus.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyped_spark.functions.url import (
+    blocked_url_col,
+    domain_suffixes_col,
+    host_col,
+    registrable_domain_col,
+)
+from hyped_spark.operators.curation import cap_per_domain, filter_blocklisted_urls
+
+URLS = [
+    (0, "https://User:pw@A.B.Example.COM:8080/p?q=1"),
+    (1, "http://example.com/x"),
+    (2, "https://w1.ads.example.com/z"),
+    (3, "http://news.site.org/a"),
+    (4, "https://blog.site.org/b"),
+    (5, "https://site.org/c"),
+    (6, "not a url"),
+    (7, "ftp://host/x"),
+]
+
+
+def test_host_and_suffixes(spark):
+    df = spark.createDataFrame(URLS, "id long, url string")
+    rows = df.select(
+        "id",
+        host_col(F.col("url")).alias("h"),
+        domain_suffixes_col(host_col(F.col("url"))).alias("s"),
+    ).collect()
+    got = {r.id: (r.h, r.s) for r in rows}
+    # userinfo, port and case all stripped; path untouched
+    assert got[0] == (
+        "a.b.example.com",
+        ["a.b.example.com", "b.example.com", "example.com", "com"],
+    )
+    # non-URL text has no scheme -> empty host, empty suffix set
+    assert got[6] == ("", [])
+    # any scheme accepted, single-label host is its own only suffix
+    assert got[7] == ("host", ["host"])
+
+
+def test_registrable_domain_label_heuristic(spark):
+    df = spark.createDataFrame(
+        [("w3.news.example.com",), ("example.com",), ("com",), ("",)],
+        "h string",
+    )
+    got = [r.d for r in df.select(
+        registrable_domain_col(F.col("h")).alias("d")).collect()]
+    assert got == ["example.com", "example.com", "com", ""]
+    got3 = [r.d for r in df.select(
+        registrable_domain_col(F.col("h"), n_labels=3).alias("d")).collect()]
+    assert got3 == ["news.example.com", "example.com", "com", ""]
+
+
+def test_blocklist_drop_and_flag_match_suffix_semantics(spark):
+    df = spark.createDataFrame(URLS, "id long, url string")
+    bl = spark.createDataFrame(
+        [(" Example.COM ",), ("site.org",)], "domain string"
+    )  # list entries normalize (trim + lowercase) before matching
+    kept = {r.id for r in filter_blocklisted_urls(df, bl).collect()}
+    assert kept == {6, 7}
+    flags = {
+        r.id: r.blocked
+        for r in filter_blocklisted_urls(df, bl, mode="flag").collect()
+    }
+    assert flags == {i: i not in (6, 7) for i in range(8)}
+    # literal-list map-only probe agrees
+    lit = {
+        r.id: r.b
+        for r in df.select(
+            "id",
+            blocked_url_col(F.col("url"), ["example.com", "site.org"]).alias("b"),
+        ).collect()
+    }
+    assert lit == flags
+
+
+def test_blocklist_unknown_mode_raises(spark):
+    df = spark.createDataFrame(URLS, "id long, url string")
+    bl = spark.createDataFrame([("x.org",)], "domain string")
+    with pytest.raises(ValueError, match="mode"):
+        filter_blocklisted_urls(df, bl, mode="bogus")
+
+
+def _capped_corpus(spark, n=60):
+    rows = [(i, f"https://w{i % 3}.dom{i % 4}.net/p/{i}", float(i % 7))
+            for i in range(n)]
+    return spark.createDataFrame(rows, "id long, url string, score double")
+
+
+def test_cap_per_domain_bounds_and_determinism(spark):
+    df = _capped_corpus(spark)
+    out = cap_per_domain(df, k=3, domain_out="domain")
+    per_dom = (
+        out.groupBy("domain").count().collect()
+    )
+    assert {r.domain for r in per_dom} == {f"dom{i}.net" for i in range(4)}
+    assert all(r["count"] == 3 for r in per_dom)
+    # deterministic under repartitioning (hash-ranked, not arrival-order)
+    again = cap_per_domain(df.repartition(13), k=3, domain_out="domain")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # k larger than any domain keeps everything
+    assert cap_per_domain(df, k=1000).count() == 60
+
+
+def test_cap_per_domain_order_col_keeps_best(spark):
+    df = _capped_corpus(spark)
+    out = cap_per_domain(df, k=2, order_col="score", domain_out="domain")
+    kept = {}
+    for r in out.collect():
+        kept.setdefault(r.domain, []).append(r.score)
+    # order_col ranks ascending: the cap keeps each domain's 2 LOWEST scores
+    full = {}
+    for r in df.withColumn(
+        "d", registrable_domain_col(host_col(F.col("url")))
+    ).collect():
+        full.setdefault(r.d, []).append(r.score)
+    for dom, scores in kept.items():
+        assert sorted(scores) == sorted(full[dom])[:2]
+
+
+def test_spec_stages_run(spark, tmp_path):
+    from hyped_spark.plans.spec import _REGISTRY
+
+    df = _capped_corpus(spark)
+    bl_path = str(tmp_path / "bl")
+    spark.createDataFrame([("dom2.net",)], "domain string").write.parquet(bl_path)
+    dropped = _REGISTRY["blocklist_filter"]({"blocklist_path": bl_path})(df)
+    assert dropped.count() == 45
+    capped = _REGISTRY["cap_per_domain"]({"k": 2, "domain_out": "domain"})(df)
+    assert capped.count() == 8
