@@ -1434,6 +1434,60 @@ def cap_domain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "url", "domain")
 
 
+_CLS_DIM = 512
+
+
+def _cls_weights() -> list[float]:
+    """Deterministic stand-in for a trained quality-classifier weight
+    vector: w[j] derived from md5 so the DuckDB oracle can rebuild the
+    SAME model from SQL (a real deployment loads trained weights; the
+    scoring path is identical)."""
+    import hashlib
+
+    return [
+        ((int(hashlib.md5(f"w|{j}".encode()).hexdigest()[:15], 16) % 2001)
+         - 1000) / 1000.0
+        for j in range(_CLS_DIM)
+    ]
+
+
+def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality-gate inference (hyped_spark/operators/classify.py:
+    linear_text_score) — the CCNet/FineWeb-Edu classifier shape: hashed
+    bag-of-words → mean pool → linear → sigmoid, run as a MAP-ONLY plan
+    (weights ride in one broadcast row, the fold is a native HOF — zero
+    exchanges, zero Python). md5 hash mode makes the score bit-replayable
+    in DuckDB."""
+    from hyped_spark.operators.classify import linear_text_score
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = linear_text_score(d, _cls_weights(), bias=0.1, hash_mode="md5")
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph authority ranking (hyped_spark/operators/graphs.py:
+    pagerank) — Common-Crawl-style domain centrality. A deterministic
+    host-level multigraph is synthesized from documents (one edge per doc,
+    every 11th pointing at a pure-sink host so the dangling-mass term is
+    exercised); 5 power iterations with per-step 8-dp rounding make the
+    run bit-replayable as an unrolled CTE chain in DuckDB."""
+    from hyped_spark.operators.graphs import pagerank
+
+    d = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    edges = d.select(
+        F.concat(F.lit("h"), (did % 29).cast("string"), F.lit(".net"))
+        .alias("src"),
+        F.when(did % 11 == 0, F.lit("sink.net"))
+        .otherwise(
+            F.concat(F.lit("h"), ((did * 3 + 1) % 29).cast("string"),
+                     F.lit(".net"))
+        ).alias("dst"),
+    )
+    return pagerank(edges, iters=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1516,6 +1570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom_docs": decontaminate_bloom_docs,
         "blocklist_filter_docs": blocklist_filter_docs,
         "cap_domain_docs": cap_domain_docs,
+        "quality_classifier_docs": quality_classifier_docs,
+        "pagerank_hosts": pagerank_hosts,
     }
 
 
@@ -2032,6 +2088,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom_docs": _decontaminate_bloom_oracle(),
         "blocklist_filter_docs": _blocklist_filter_oracle(),
         "cap_domain_docs": _cap_domain_oracle(),
+        "quality_classifier_docs": _quality_classifier_oracle(),
+        "pagerank_hosts": _pagerank_oracle(),
     }
 
 
@@ -2985,6 +3043,36 @@ def _cap_domain_oracle() -> str:
         WITH d AS (SELECT doc_id, {_DOC_URL_SQL} AS url FROM documents)
         SELECT doc_id, url, domain FROM ({inner})
     """
+
+
+def _quality_classifier_oracle() -> str:
+    """DuckDB rebuilds the md5-derived weight vector in a 1-row CTE
+    (cross-joined — lambdas can't hold subqueries) and folds the identical
+    hashed-BoW score per document."""
+    from hyped_spark.operators.classify import linear_text_score_sql
+
+    score = linear_text_score_sql("w.arr", _CLS_DIM, "text", 0.1)
+    return f"""
+        WITH w AS (
+            SELECT array_agg(
+                ((CAST('0x' || substr(md5('w|' || j), 1, 15) AS BIGINT)
+                  % 2001) - 1000) / 1000.0 ORDER BY j) AS arr
+            FROM range({_CLS_DIM}) s(j)
+        )
+        SELECT doc_id, round({score}, 6) AS score FROM documents, w
+    """
+
+
+def _pagerank_oracle() -> str:
+    from hyped_spark.operators.graphs import pagerank_sql
+
+    edges = (
+        "SELECT 'h' || (doc_id % 29) || '.net' AS src, "
+        "CASE WHEN doc_id % 11 = 0 THEN 'sink.net' "
+        "ELSE 'h' || ((doc_id * 3 + 1) % 29) || '.net' END AS dst "
+        "FROM documents"
+    )
+    return pagerank_sql(edges, iters=5)
 
 
 def _canonical_url_oracle() -> str:

@@ -95,6 +95,11 @@ BENCH_QUERIES = [
     # and per-domain quota cap (one exchange + WindowGroupLimit)
     "blocklist_filter_docs",
     "cap_domain_docs",
+    # map-only hashed-BoW classifier inference (broadcast weights row)
+    "quality_classifier_docs",
+    # 5 power iterations over the synthesized host graph (2 exchanges +
+    # 1 scalar collect per round, lineage cut by localCheckpoint)
+    "pagerank_hosts",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

@@ -1,0 +1,146 @@
+"""Link-graph operators: PageRank over an edge list.
+
+Web-curation pipelines rank crawl frontiers and weight training mixes by
+link-based authority (Common Crawl publishes exactly this: harmonic /
+PageRank centrality per domain). The input is the web graph as a plain
+(src, dst) edge DataFrame — the shape a 100 TB crawl naturally produces.
+
+:func:`pagerank` is the standard power iteration, written Spark-first:
+
+- per iteration: one join of ranks onto the (pre-partitioned) edge list,
+  one hash aggregation of contributions by destination — the two
+  unavoidable exchanges of distributed PageRank; out-degrees are computed
+  once, outside the loop;
+- the dangling-node mass is a one-scalar driver collect per iteration
+  (metadata-sized, like the IVF centroid pull) folded back as a literal;
+- each iteration ends in an eager ``localCheckpoint`` with the superseded
+  frame released immediately — the loop-plan-explosion discipline from the
+  connected-components dedup (a frame referenced twice per round otherwise
+  doubles the logical plan every iteration and hangs plan stringification
+  around round 7);
+- ranks round to ``round_dp`` per iteration, which pins float drift so the
+  fixed-iteration run is bit-replayable in DuckDB (same trick as the IVF
+  k-means oracle).
+
+Semantics: multigraph (parallel edges each carry weight — duplicate your
+edges or pre-``distinct`` them as your crawl demands), self-loops allowed,
+``r' = (1-d)/N + d·(dangling/N) + d·Σ_in r/deg`` with N = |nodes seen in
+either column|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    damping: float = 0.85,
+    round_dp: int | None = 8,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Fixed-iteration PageRank; returns (node, rank)."""
+    from hyped_spark.operators.dedup import _release_local_checkpoint
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("__s").alias("__n"))
+        .union(e.select("__d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    deg = e.groupBy("__s").agg(F.count("*").alias("__deg"))
+    # degree-annotated edges shuffle ONCE; every iteration's rank join
+    # then reuses this frame (ranks are the only moving side)
+    ed = e.join(deg, "__s").localCheckpoint(eager=True)
+
+    def _rnd(c):
+        return F.round(c, round_dp) if round_dp is not None else c
+
+    ranks = nodes.select(
+        "__n", _rnd(F.lit(1.0 / n_nodes)).alias("__r")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iters):
+        dang_row = (
+            ranks.join(deg, ranks["__n"] == deg["__s"], "left_anti")
+            .agg(F.sum("__r"))
+            .collect()[0][0]
+        )
+        dang = float(dang_row or 0.0)
+        base = (1.0 - damping) / n_nodes + damping * (dang / n_nodes)
+        inflow = (
+            ed.join(ranks, ed["__s"] == ranks["__n"])
+            .groupBy("__d")
+            .agg(F.sum(F.col("__r") / F.col("__deg")).alias("__in"))
+        )
+        new = nodes.join(
+            inflow, nodes["__n"] == inflow["__d"], "left"
+        ).select(
+            "__n",
+            _rnd(
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+            ).alias("__r"),
+        ).localCheckpoint(eager=True)
+        _release_local_checkpoint(ranks)
+        ranks = new
+
+    return ranks.select(F.col("__n").alias("node"),
+                        F.col("__r").alias(rank_col))
+
+
+def pagerank_sql(
+    edges_cte: str,
+    src_expr: str = "src",
+    dst_expr: str = "dst",
+    iters: int = 5,
+    damping: float = 0.85,
+    round_dp: int = 8,
+    rank_col: str = "rank",
+) -> str:
+    """DuckDB twin: the fixed iteration count unrolls into a CTE chain
+    replaying the identical update (same association order, same per-step
+    rounding), so ranks match Spark bit-for-bit. ``edges_cte`` is a SQL
+    fragment selecting the edge list."""
+    d = damping
+    parts = [
+        f"e AS (SELECT {src_expr} AS s, {dst_expr} AS dst FROM ({edges_cte}))",
+        "nodes AS (SELECT DISTINCT n FROM "
+        "(SELECT s AS n FROM e UNION ALL SELECT dst FROM e))",
+        "nn AS (SELECT count(*) AS c FROM nodes)",
+        "deg AS (SELECT s, count(*) AS c FROM e GROUP BY s)",
+        f"r0 AS (SELECT n, round(1.0 / (SELECT c FROM nn), {round_dp}) AS r "
+        f"FROM nodes)",
+    ]
+    for k in range(iters):
+        prev, cur = f"r{k}", f"r{k + 1}"
+        parts.append(
+            f"dang{k} AS (SELECT coalesce(sum(r), 0.0) AS m FROM {prev} "
+            f"WHERE n NOT IN (SELECT s FROM e))"
+        )
+        parts.append(
+            f"in{k} AS (SELECT e.dst AS n, sum({prev}.r / deg.c) AS s "
+            f"FROM e JOIN {prev} ON e.s = {prev}.n "
+            f"JOIN deg ON e.s = deg.s GROUP BY e.dst)"
+        )
+        parts.append(
+            f"{cur} AS (SELECT nodes.n, round("
+            f"(1.0 - {d!r}) / (SELECT c FROM nn)"
+            f" + {d!r} * ((SELECT m FROM dang{k}) / (SELECT c FROM nn))"
+            f" + {d!r} * coalesce(in{k}.s, 0.0), {round_dp}) AS r "
+            f"FROM nodes LEFT JOIN in{k} ON nodes.n = in{k}.n)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT n AS node, r AS {rank_col} FROM r{iters}"
+    )

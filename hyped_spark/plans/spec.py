@@ -410,6 +410,29 @@ def _cap_per_domain(p: dict) -> Stage:
     )
 
 
+@register("linear_classifier")
+def _linear_classifier(p: dict) -> Stage:
+    """Hashed-BoW linear model scoring; weights inline in the spec (small
+    models) or loaded from a single-column parquet/JSON artifact path."""
+    from hyped_spark.operators.classify import linear_text_score
+
+    def run(df: DataFrame) -> DataFrame:
+        ws = p.get("weights")
+        if ws is None:
+            # artifact = (index, weight) columns; collect is model-sized
+            wdf = getattr(df.sparkSession.read, p.get("format", "parquet"))(
+                p["weights_path"]
+            )
+            ws = [r[1] for r in wdf.orderBy(wdf.columns[0]).collect()]
+        return linear_text_score(
+            df, ws, text_col=p.get("text_col", "text"),
+            bias=p.get("bias", 0.0),
+            hash_mode=p.get("hash_mode", "xxhash64"),
+            out_col=p.get("out", "score"),
+        )
+    return run
+
+
 @register("repartition")
 def _repartition(p: dict) -> Stage:
     cols = [F.col(c) for c in p.get("columns", [])]

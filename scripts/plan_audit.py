@@ -456,6 +456,27 @@ def main() -> None:
         ("no Python eval", "Python" not in p),
     ]))
 
+    # classifier inference: weights ride in ONE broadcast row; scoring is
+    # a native fold — nothing shuffles, nothing crosses into Python
+    p = plan_of(q["quality_classifier_docs"](spark, SF))
+    sections.append(("quality_classifier_docs (map-only hashed-BoW inference)", p, [
+        ("no hash-partition exchange", "Exchange hashpartitioning" not in p),
+        ("weights broadcast once", "BroadcastExchange" in p),
+        ("no Python eval", "EvalPython" not in p and "InPandas" not in p),
+        ("no sort", not re.search(r"\(\d+\) Sort\b", p)),
+    ]))
+
+    # pagerank: after N iterations the returned frame's lineage must be a
+    # checkpoint scan, not N stacked join+agg rounds (loop-plan-explosion
+    # discipline — an uncheckpointed loop doubles the plan per round)
+    p = plan_of(q["pagerank_hosts"](spark, SF))
+    sections.append(("pagerank_hosts (iteration lineage cut per round)", p, [
+        ("result reads the round checkpoint", "ExistingRDD" in p),
+        ("no stacked iteration plan (post-loop plan is flat)",
+         len(re.findall(r"\(\d+\) Exchange", p)) == 0),
+        ("plan size bounded", len(p) < 4000),
+    ]))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)\n"]
     all_ok = True
     for title, plan, checks in sections:
