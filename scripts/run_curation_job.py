@@ -6,6 +6,9 @@ runnable pipeline over a documents corpus.
 
 Stages (each one a library operator — this script only chains them):
 
+0. URL gates [opt]             (--blocklist PATH: UT1-style domain suffix
+                                filter; --max-per-domain K: registrable-
+                                domain quota cap — both need --url-col)
 1. exact dedup                 (fingerprint hash-agg, min-id representative)
 2. MinHash near-dedup          (LSH bands, connected-components keep rule)
 3. benchmark decontamination   (shingle overlap vs a held-out eval slice)
@@ -15,7 +18,10 @@ Stages (each one a library operator — this script only chains them):
 5b. C4 line gate [opt]         (--c4-lines MIN_WORDS: keep sentence-like
                                 lines only, drop docs left empty)
 6. quality gate                (quality score + Gopher repetition fractions)
-6b. perplexity gate [opt]      (--max-ppl X: drop docs above X under a
+6b. classifier gate [opt]      (--classifier-weights PATH + --min-score:
+                                hashed-BoW linear model score, FineWeb-
+                                style learned filter; keeps 'score')
+6c. perplexity gate [opt]      (--max-ppl X: drop docs above X under a
                                 corpus-fit add-alpha unigram LM)
 7. language filter             (native n-gram language id)
 8. stratified sample [opt]     (--sample '{"src":frac,...}': per-source
@@ -82,6 +88,27 @@ def main() -> None:
     ap.add_argument("--incremental", action="store_true",
                     help="near-dedup the input as a DELTA against the "
                          "persisted dedup_index instead of a full pass")
+    ap.add_argument("--blocklist", default=None, metavar="PATH",
+                    help="parquet of blocked domains (one 'domain' "
+                         "column); docs whose --url-col host has any "
+                         "listed dot-suffix are dropped BEFORE dedup "
+                         "(UT1-style URL filtering, the cheapest gate "
+                         "first)")
+    ap.add_argument("--max-per-domain", type=int, default=0,
+                    help="if > 0, cap each registrable domain of "
+                         "--url-col to this many docs (hash-ranked, "
+                         "deterministic) before dedup")
+    ap.add_argument("--url-col", default="url",
+                    help="URL column for --blocklist / --max-per-domain "
+                         "(stages error if requested and the column is "
+                         "absent)")
+    ap.add_argument("--classifier-weights", default=None, metavar="PATH",
+                    help="parquet (bucket, weight) hashed-BoW linear "
+                         "model; adds a 'score' column and drops docs "
+                         "below --min-score after the quality gate "
+                         "(FineWeb-style learned filter)")
+    ap.add_argument("--min-score", type=float, default=0.5)
+    ap.add_argument("--classifier-bias", type=float, default=0.0)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -110,6 +137,25 @@ def main() -> None:
                       shuffle_partitions=args.cores)
     docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
     counts = {"input": docs.count()}
+
+    if (args.blocklist or args.max_per_domain > 0) \
+            and args.url_col not in docs.columns:
+        raise SystemExit(
+            f"--blocklist/--max-per-domain need column {args.url_col!r} "
+            f"(corpus has: {docs.columns})"
+        )
+    if args.blocklist:
+        from hyped_spark.operators.curation import filter_blocklisted_urls
+
+        bl = spark.read.parquet(args.blocklist)
+        docs = filter_blocklisted_urls(docs, bl, url_col=args.url_col)
+        counts["after_blocklist"] = docs.count()
+    if args.max_per_domain > 0:
+        from hyped_spark.operators.curation import cap_per_domain
+
+        docs = cap_per_domain(docs, url_col=args.url_col,
+                              k=args.max_per_domain)
+        counts["after_domain_cap"] = docs.count()
 
     d = exact_dedup(docs)
     counts["after_exact_dedup"] = d.count()
@@ -185,6 +231,15 @@ def main() -> None:
                 & (F.col("dup_3gram_frac") <= args.max_dup_3gram))
     )
     counts["after_quality_gate"] = d.count()
+
+    if args.classifier_weights:
+        from hyped_spark.operators.classify import linear_text_score
+
+        wdf = spark.read.parquet(args.classifier_weights)
+        ws = [r[1] for r in wdf.orderBy(wdf.columns[0]).collect()]
+        d = linear_text_score(d, ws, bias=args.classifier_bias) \
+            .filter(F.col("score") >= args.min_score)
+        counts["after_classifier_gate"] = d.count()
 
     if args.max_ppl > 0:
         from hyped_spark.operators.lm import fit_unigram_lm, lm_perplexity

@@ -349,3 +349,70 @@ def test_weighted_sample_duckdb_twin(spark):
     want = sorted(r[0] for r in con.execute(
         weighted_sample_sql("t", "k", "w", 40)).fetchall())
     assert got == want
+
+
+def test_curation_job_url_and_classifier_stages(spark, tmp_path, monkeypatch):
+    """--blocklist / --max-per-domain / --classifier-weights: URL gates run
+    before dedup, the learned filter after the quality gate; every stage
+    count lands in the summary and the score column survives to output."""
+    import importlib.util
+    import sys
+
+    docs = _docs(spark).withColumn(
+        "url",
+        F.concat(F.lit("https://w"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".dom"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".org/p/"), F.col("doc_id").cast("string")),
+    )
+    sf_dir = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    bl_path = str(tmp_path / "bl")
+    spark.createDataFrame([("dom3.org",)], "domain string").write.parquet(bl_path)
+    w_path = str(tmp_path / "w")
+    spark.createDataFrame(
+        [(j, (j % 5 - 2) / 2.0) for j in range(64)], "bucket int, weight double"
+    ).write.parquet(w_path)
+
+    spec = importlib.util.spec_from_file_location(
+        "run_curation_job3", "/root/repo/scripts/run_curation_job.py")
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+    out = str(tmp_path / "o3")
+    monkeypatch.setattr(sys, "argv", [
+        "job", "--sf-dir", sf_dir, "--out", out, "--cores", "8",
+        "--blocklist", bl_path, "--max-per-domain", "30",
+        "--classifier-weights", w_path, "--min-score", "0.4",
+    ])
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        job.main()
+    import json
+    counts = json.loads(buf.getvalue().strip().splitlines()[-1])["counts"]
+
+    n_in = counts["input"]
+    assert counts["after_blocklist"] == _docs(spark).filter(
+        "doc_id % 7 != 3").count()
+    # registrable domain = domN.org (7 values, one blocked) -> <= 6 * 30
+    assert counts["after_domain_cap"] <= 6 * 30
+    assert counts["after_domain_cap"] < counts["after_blocklist"] <= n_in
+    assert "after_classifier_gate" in counts
+    assert counts["after_classifier_gate"] <= counts["after_quality_gate"]
+    curated = spark.read.parquet(f"{out}/curated")
+    assert "score" in curated.columns
+
+
+def test_curation_job_url_stage_missing_column(spark, tmp_path, monkeypatch):
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "run_curation_job4", "/root/repo/scripts/run_curation_job.py")
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+    monkeypatch.setattr(sys, "argv", [
+        "job", "--out", str(tmp_path / "o4"), "--max-per-domain", "5",
+    ])
+    with pytest.raises(SystemExit, match="url"):
+        job.main()

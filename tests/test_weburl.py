@@ -139,3 +139,27 @@ def test_spec_stages_run(spark, tmp_path):
     assert dropped.count() == 45
     capped = _REGISTRY["cap_per_domain"]({"k": 2, "domain_out": "domain"})(df)
     assert capped.count() == 8
+
+
+def test_blocked_url_col_on_a_stream(spark, tmp_path):
+    """The literal-list probe is a pure column expression, so the blocklist
+    gate drops rows inside a streaming query with no state and no extra
+    plan surgery (the DataFrame-blocklist variant needs its hit-set
+    aggregation and is the batch path)."""
+    src = tmp_path / "urls"
+    src.mkdir()
+    spark.createDataFrame(URLS, "id long, url string").coalesce(1) \
+        .write.parquet(str(src / "seg0"))
+    stream = (
+        spark.readStream.schema("id long, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .filter(~blocked_url_col(F.col("url"), ["example.com", "site.org"]))
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("bl_kept")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    kept = {r.id for r in spark.sql("SELECT id FROM bl_kept").collect()}
+    assert kept == {6, 7}
