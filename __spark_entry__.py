@@ -1488,6 +1488,38 @@ def pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=5)
 
 
+def warc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC encode → parse roundtrip (hyped_spark/sources/warc.py) run
+    distributed: each Arrow batch of documents serializes to one
+    ISO-28500 record concatenation and re-parses through the same stdlib
+    parser the binaryFile reader uses. The oracle is closed-form from the
+    generating table (url template, byte length, identity text) — the
+    audio/image pattern for binary formats DuckDB can't read natively."""
+    from hyped_spark.sources.warc import encode_warc_record, parse_warc_bytes
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def rt(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blob = b"".join(
+                encode_warc_record(f"https://docs.example/{i}", t.encode())
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            )
+            recs = parse_warc_bytes(blob)
+            yield pd.DataFrame({
+                "doc_id": list(pdf["doc_id"]),
+                "url": [r["url"] for r in recs],
+                "content_length": [r["content_length"] for r in recs],
+                "text": [r["payload"].decode() for r in recs],
+            })
+
+    return d.mapInPandas(
+        rt, "doc_id long, url string, content_length long, text string"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1572,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_domain_docs": cap_domain_docs,
         "quality_classifier_docs": quality_classifier_docs,
         "pagerank_hosts": pagerank_hosts,
+        "warc_roundtrip_docs": warc_roundtrip_docs,
     }
 
 
@@ -2090,6 +2123,13 @@ def oracle_sql() -> dict[str, str]:
         "cap_domain_docs": _cap_domain_oracle(),
         "quality_classifier_docs": _quality_classifier_oracle(),
         "pagerank_hosts": _pagerank_oracle(),
+        "warc_roundtrip_docs": """
+            SELECT doc_id,
+                   'https://docs.example/' || doc_id AS url,
+                   strlen(text) AS content_length,
+                   text
+            FROM documents
+        """,
     }
 
 

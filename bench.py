@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     # 5 power iterations over the synthesized host graph (2 exchanges +
     # 1 scalar collect per round, lineage cut by localCheckpoint)
     "pagerank_hosts",
+    # WARC serialize+parse per Arrow batch (stdlib codec, map-only)
+    "warc_roundtrip_docs",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)
