@@ -349,6 +349,7 @@ def filter_blocklisted_urls(
     domain_col: str = "domain",
     mode: str = "drop",
     flag_col: str = "blocked",
+    broadcast_hits: bool = True,
 ) -> DataFrame:
     """UT1-style domain blocklist filtering: drop (``mode="drop"``) or flag
     (``mode="flag"``) rows whose URL's host has ANY dot-suffix listed in
@@ -362,9 +363,12 @@ def filter_blocklisted_urls(
     ids-only, never the payload — and semi-joins map-side against the
     broadcast list. The blocked-URL set (normally a small fraction of the
     corpus) is then broadcast back for a map-side anti/left join, so the
-    corpus payload NEVER shuffles. For literal lists of a few dozen domains
-    :func:`hyped_spark.functions.url.blocked_url_col` is the zero-join
-    per-row variant.
+    corpus payload NEVER shuffles. If a LARGE corpus fraction is blocked
+    (hit-set beyond broadcast reach), pass ``broadcast_hits=False`` to let
+    the join-back fall to a sort-merge on the url key — one corpus
+    shuffle, no driver-memory ceiling. For literal lists of a few dozen
+    domains :func:`hyped_spark.functions.url.blocked_url_col` is the
+    zero-join per-row variant.
     """
     from hyped_spark.functions.url import domain_suffixes_col, host_col
 
@@ -375,10 +379,12 @@ def filter_blocklisted_urls(
             domain_suffixes_col(host_col(F.col("__u")))
         ).alias("__sfx"),
     )
-    hits = F.broadcast(
+    hits = (
         sufx.join(F.broadcast(bl), "__sfx", "left_semi")
         .select("__u").distinct()
     )
+    if broadcast_hits:
+        hits = F.broadcast(hits)
     if mode == "flag":
         out = df.join(
             hits.withColumn(flag_col, F.lit(True)),

@@ -163,3 +163,12 @@ def test_blocked_url_col_on_a_stream(spark, tmp_path):
     q.awaitTermination(120)
     kept = {r.id for r in spark.sql("SELECT id FROM bl_kept").collect()}
     assert kept == {6, 7}
+
+
+def test_blocklist_no_broadcast_same_result(spark):
+    df = spark.createDataFrame(URLS, "id long, url string")
+    bl = spark.createDataFrame([("example.com",), ("site.org",)], "domain string")
+    a = sorted(r.id for r in filter_blocklisted_urls(df, bl).collect())
+    b = sorted(r.id for r in
+               filter_blocklisted_urls(df, bl, broadcast_hits=False).collect())
+    assert a == b == [6, 7]
