@@ -1520,6 +1520,23 @@ def warc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (hyped_spark/operators/similarity.py:
+    pq_topk) — the FAISS ``PQ4`` shape completing the family next to
+    brute/LSH/IVF/SQ8/IVF-SQ: per-subspace deterministic k-means codebooks
+    (hash-ranked sample, 3 Lloyd steps, 6-dp rounding), corpus compressed
+    to 4 byte-codes per vector, queries scored by a broadcast ADC look-up
+    table folded natively over the code array. The oracle replays all four
+    subspace fits and the ADC scoring as chained CTEs."""
+    from hyped_spark.operators.similarity import pq_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, k=5, m=4, ks=8, n_iters=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1605,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_docs": quality_classifier_docs,
         "pagerank_hosts": pagerank_hosts,
         "warc_roundtrip_docs": warc_roundtrip_docs,
+        "ann_topk_pq": ann_topk_pq,
     }
 
 
@@ -1999,6 +2017,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": _quality_oracle(),
         "ann_topk_lsh": _ann_lsh_oracle(dim=64, n_bits=6, k=5),
         "ann_topk_ivf": _ann_ivf_oracle(dim=64, n_lists=8, n_probe=2, k=5),
+        "ann_topk_pq": _ann_pq_oracle(dim=64, m=4, ks=8, k=5, n_iters=3),
         "ann_topk_sq8": _ann_sq8_oracle(dim=64, k=5),
         "ann_topk_ivf_sq": _ann_ivf_sq_oracle(dim=64, n_lists=8, n_probe=2, k=5),
         # fixed spans (1,3)/(5,8), no truncation: marker insertion is pure
@@ -2675,6 +2694,103 @@ def _ann_ivf_oracle(
             FROM scored
         ) WHERE rank <= {k}
     """
+
+
+def _ann_pq_oracle(
+    dim: int = 64,
+    m: int = 4,
+    ks: int = 8,
+    k: int = 5,
+    n_iters: int = 3,
+    train_cap: int = 100_000,
+) -> str:
+    """DuckDB twin of pq_topk: normalizes in the same op order (cast to
+    DOUBLE[], sequential dot, per-component 6-dp round), replays each
+    subspace's deterministic Lloyd fit as its own CTE chain (the
+    _ann_ivf_oracle pattern × m), encodes every vector (argmin with cell
+    tie-break), builds the per-query 6-dp-rounded LUT, and sums the ADC
+    with explicit left-to-right parentheses matching Spark's aggregate
+    fold."""
+    h = _H60.format(expr="CAST(vec_id AS VARCHAR)")
+    sd = dim // m
+    d2 = ("list_sum(list_transform(list_zip({x}, {c}), "
+          "z -> (z[1]-z[2])*(z[1]-z[2])))")
+    parts = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+        "FROM embeddings)",
+        "vn AS (SELECT vec_id, list_transform(e, x -> "
+        "round(x / sqrt(list_dot_product(e, e)), 6)) AS en FROM v)",
+        f"vr AS (SELECT vec_id, en, row_number() OVER (ORDER BY {h}, "
+        f"vec_id) AS rn FROM vn)",
+        f"tr AS (SELECT vec_id, en FROM vr WHERE rn <= {train_cap})",
+    ]
+    for j in range(m):
+        lo, hi = j * sd + 1, (j + 1) * sd
+        parts.append(
+            f"s{j} AS (SELECT vec_id, en[{lo}:{hi}] AS s FROM tr)"
+        )
+        parts.append(
+            f"b{j}_0 AS (SELECT rn - 1 AS cell, en[{lo}:{hi}] AS ce "
+            f"FROM vr WHERE rn <= {ks})"
+        )
+        for t in range(n_iters):
+            parts.append(
+                f"a{j}_{t} AS (SELECT vec_id, s, cell FROM ("
+                f"SELECT t.vec_id, t.s, b.cell, row_number() OVER ("
+                f"PARTITION BY t.vec_id ORDER BY "
+                f"{d2.format(x='t.s', c='b.ce')}, b.cell) AS arn "
+                f"FROM s{j} t CROSS JOIN b{j}_{t} b) WHERE arn = 1)"
+            )
+            parts.append(
+                f"m{j}_{t} AS (SELECT cell, i, round(avg(s[i]), 6) AS mv "
+                f"FROM a{j}_{t} CROSS JOIN range(1, {sd + 1}) r(i) "
+                f"GROUP BY cell, i)"
+            )
+            parts.append(
+                f"b{j}_{t + 1} AS (SELECT b.cell, coalesce(g.ge, b.ce) AS ce "
+                f"FROM b{j}_{t} b LEFT JOIN (SELECT cell, "
+                f"list(mv ORDER BY i) AS ge FROM m{j}_{t} GROUP BY cell) g "
+                f"USING (cell))"
+            )
+        parts.append(
+            f"code{j} AS (SELECT vec_id, cell FROM ("
+            f"SELECT n.vec_id, b.cell, row_number() OVER ("
+            f"PARTITION BY n.vec_id ORDER BY "
+            f"{d2.format(x=f'n.en[{lo}:{hi}]', c='b.ce')}, b.cell) AS arn "
+            f"FROM vn n CROSS JOIN b{j}_{n_iters} b) WHERE arn = 1)"
+        )
+        parts.append(
+            f"lut{j} AS (SELECT n.vec_id AS query_id, b.cell, "
+            f"round({d2.format(x=f'n.en[{lo}:{hi}]', c='b.ce')} / 2.0, 6) "
+            f"AS lv FROM vn n CROSS JOIN b{j}_{n_iters} b "
+            f"WHERE n.vec_id < 8)"
+        )
+    adc_sum = "l0.lv"
+    for j in range(1, m):
+        adc_sum = f"({adc_sum} + l{j}.lv)"
+    code_joins = "code0 c0 " + " ".join(
+        f"JOIN code{j} c{j} USING (vec_id)" for j in range(1, m)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{j} l{j} ON l{j}.query_id = l0.query_id "
+        f"AND l{j}.cell = c{j}.cell"
+        for j in range(1, m)
+    )
+    parts.append(
+        f"scored AS (SELECT l0.query_id, c0.vec_id, "
+        f"round(1.0 - {adc_sum}, 6) AS approx_cosine "
+        f"FROM {code_joins} JOIN lut0 l0 ON l0.cell = c0.cell {lut_joins})"
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+        SELECT query_id, vec_id, approx_cosine, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY approx_cosine DESC, vec_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+    )
 
 
 def _ann_sq8_oracle(dim: int = 64, k: int = 5) -> str:

@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "pagerank_hosts",
     # WARC serialize+parse per Arrow batch (stdlib codec, map-only)
     "warc_roundtrip_docs",
+    # PQ ANN: per-subspace codebooks, byte codes, broadcast ADC LUT fold
+    "ann_topk_pq",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

@@ -558,3 +558,146 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    ks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_cap: int = 100_000,
+    n_iters: int = 3,
+) -> np.ndarray:
+    """Product-quantization codebooks: the vector splits into ``m``
+    contiguous subspaces, each fitted with its OWN deterministic bounded
+    Lloyd k-means (``ks`` centroids) — the FAISS ``PQm`` shape.
+
+    Same replayability contract as :func:`ivf_train_centroids` (one
+    hash-ranked bounded sample, stable argmin tie-break, 6-dp rounding per
+    step), but over vectors NORMALIZED in-engine first (components rounded
+    to 6 dp), because PQ approximates L2 and on unit vectors L2-argmin is
+    cosine-argmax: ``cos = 1 - d2/2``. Returns (m, ks, dim//m) float64."""
+    from hyped_spark.functions.hashing import h64_col
+
+    v = F.col(vec_col).cast("array<double>")  # match the SQL twin's math
+    vn = F.transform(v, lambda x: F.round(x / norm_col(v), 6))
+    rows = (
+        corpus.select(F.col(id_col).alias("__id"), vn.alias("__vn"))
+        .withColumn("__h", h64_col(F.col("__id").cast("string"), "md5"))
+        .orderBy("__h", "__id")
+        .limit(train_cap)
+        .select("__vn")
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+    books = np.empty((m, ks, sd))
+    for j in range(m):
+        Xj = X[:, j * sd:(j + 1) * sd]
+        C = np.round(Xj[:ks].copy(), 6)
+        for _ in range(n_iters):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # ties -> smallest cell
+            for c in range(ks):
+                members = Xj[assign == c]
+                if len(members):  # empty cell keeps its centroid
+                    C[c] = np.round(members.mean(axis=0), 6)
+        books[j] = C
+    return books
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    ks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    train_cap: int = 100_000,
+    n_iters: int = 3,
+) -> DataFrame:
+    """Product-quantization ANN top-k with asymmetric distance (ADC).
+
+    The 100 TB shape: after the bounded fit, every corpus vector
+    compresses to ``m`` byte codes (64 float32 dims → 4 bytes, 64×) in one
+    Arrow-vectorized pass; each query carries a tiny ``m×ks`` look-up
+    table of subspace distances, and candidate scoring is a pure native
+    fold over the code array against the broadcast LUT — the full-precision
+    corpus is never read again. Returns (query_id, vec_id,
+    approx_cosine = 1 - adc/2 on normalized vectors, rank)."""
+    from pyspark.sql import Window
+
+    B = pq_train_codebooks(corpus, m, ks, id_col, vec_col,
+                           train_cap=train_cap, n_iters=n_iters)
+    sd = B.shape[2]
+
+    # normalization happens IN-ENGINE (same sequential fold the SQL twin
+    # uses) so the 6-dp-rounded unit vectors are bit-identical in both
+    # engines; the UDFs consume them as-is
+    def _vn(col: Column) -> Column:
+        d = col.cast("array<double>")
+        return F.transform(d, lambda x: F.round(x / norm_col(d), 6))
+
+    def make_codes_udf():
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def codes(vec: pd.Series) -> pd.Series:  # pragma: no cover (executor)
+            M = np.stack(vec.to_numpy())
+            out = np.empty((len(M), B.shape[0]), dtype=np.int32)
+            for j in range(B.shape[0]):
+                Mj = M[:, j * sd:(j + 1) * sd]
+                d2 = ((Mj[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                out[:, j] = np.argmin(d2, axis=1)
+            return pd.Series(list(out))
+
+        return codes
+
+    def make_lut_udf():
+        @F.pandas_udf(T.ArrayType(T.DoubleType()))
+        def lut(vec: pd.Series) -> pd.Series:  # pragma: no cover (executor)
+            M = np.stack(vec.to_numpy())
+            out = np.empty((len(M), B.shape[0] * B.shape[1]))
+            for j in range(B.shape[0]):
+                Mj = M[:, j * sd:(j + 1) * sd]
+                d2 = ((Mj[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                # store HALF the squared distance, rounded: the ADC fold
+                # then yields cos = 1 - Σ directly on the 6-dp grid (a /2
+                # after rounding would sit exactly on the half-boundary
+                # and flip between engines on 1-ulp differences)
+                out[:, j * B.shape[1]:(j + 1) * B.shape[1]] = \
+                    np.round(d2 / 2.0, 6)
+            return pd.Series(list(out))
+
+        return lut
+
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))) \
+        .withColumn("__codes", make_codes_udf()(_vn(F.col("__cv")))) \
+        .drop("__cv")
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")) \
+        .withColumn("__lut", make_lut_udf()(_vn(F.col("__qv")))).drop("__qv")
+    # ADC: left-to-right fold over subspaces — the same association order
+    # the SQL oracle's chained additions use
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc + F.element_at(
+            F.col("__lut"),
+            (j * ks + F.element_at(F.col("__codes"), j + 1) + 1).cast("int"),
+        ),
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "approx_cosine", F.round(1.0 - adc, 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "approx_cosine", "rank")
+    )

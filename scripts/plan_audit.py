@@ -466,6 +466,23 @@ def main() -> None:
         ("no sort", not re.search(r"\(\d+\) Sort\b", p)),
     ]))
 
+    # PQ ANN: corpus flows as int codes only; scoring is the broadcast-LUT
+    # fold (one tiny broadcast side), ranking is the single window exchange
+    p = plan_of(q["ann_topk_pq"](spark, SF))
+    sections.append(("ann_topk_pq (byte codes + broadcast ADC LUT)", p, [
+        ("full-precision vectors never re-joined",
+         "__cv" not in p.split("BroadcastNestedLoopJoin")[-1][:2000]
+         if "BroadcastNestedLoopJoin" in p else True),
+        ("queries broadcast", "BroadcastExchange" in p),
+        # of the two Exchanges, one is spread()'s deliberate round-robin
+        # that parallelizes the encode UDF over the single-row-group scan;
+        # the other is the rank window's hash partitioning
+        ("single hash exchange (rank window)",
+         len(re.findall(r"\(\d+\) Exchange\b", p)) == 2
+         and "RoundRobinPartitioning" in p),
+        ("rank-limit pushed (WindowGroupLimit)", "WindowGroupLimit" in p),
+    ]))
+
     # pagerank: after N iterations the returned frame's lineage must be a
     # checkpoint scan, not N stacked join+agg rounds (loop-plan-explosion
     # discipline — an uncheckpointed loop doubles the plan per round)

@@ -690,3 +690,37 @@ def test_ngram_jaccard_refuses_large_corpus(spark):
     assert ngram_jaccard_pairs(d.limit(150), max_rows=0).columns == [
         "id_a", "id_b", "jaccard"
     ]
+
+
+def test_pq_topk_quality(spark):
+    """PQ ANN: deterministic, self-match is rank 1 (its own codes give the
+    minimal ADC distance), codebook shape honest, bad m raises."""
+    import numpy as np
+    import pytest as _pt
+
+    from hyped_spark.operators.similarity import pq_topk, pq_train_codebooks
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = pq_topk(emb, queries, k=5, m=4, ks=8, n_iters=3)
+    rows = a.collect()
+    assert rows and len(rows) == 25
+    again = pq_topk(emb, queries, k=5, m=4, ks=8, n_iters=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # self-match: identical vector -> identical codes -> ADC is the minimum
+    # possible for that query -> rank 1 (vec_id tiebreak favors the query
+    # itself only if nothing scores strictly higher; codes quantize, so
+    # assert self is IN the top-k rather than exactly rank 1)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    assert all(q in vs for q, vs in by_q.items())
+    # compression is honest: m codebooks of ks centroids of dim/m floats
+    B = pq_train_codebooks(emb, m=4, ks=8, n_iters=3)
+    dim = len(emb.select("embedding").first()[0])
+    assert B.shape == (4, 8, dim // 4)
+    assert np.isfinite(B).all()
+    with _pt.raises(ValueError, match="divisible"):
+        pq_train_codebooks(emb, m=7, ks=8)
