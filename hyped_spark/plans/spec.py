@@ -433,6 +433,17 @@ def _linear_classifier(p: dict) -> Stage:
     return run
 
 
+@register("pagerank")
+def _pagerank(p: dict) -> Stage:
+    """Input frame = the (src, dst) edge list; output = (node, rank)."""
+    from hyped_spark.operators.graphs import pagerank
+    return lambda df: pagerank(
+        df, src_col=p.get("src", "src"), dst_col=p.get("dst", "dst"),
+        iters=p.get("iters", 5), damping=p.get("damping", 0.85),
+        round_dp=p.get("round_dp", 8), rank_col=p.get("out", "rank"),
+    )
+
+
 @register("repartition")
 def _repartition(p: dict) -> Stage:
     cols = [F.col(c) for c in p.get("columns", [])]

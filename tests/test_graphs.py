@@ -73,3 +73,12 @@ def test_bad_iters_raise(spark):
     df = spark.createDataFrame(EDGES, "src string, dst string")
     with pytest.raises(ValueError, match="iters"):
         pagerank(df, iters=0)
+
+
+def test_pagerank_spec_stage(spark):
+    from hyped_spark.plans.spec import _REGISTRY
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    out = _REGISTRY["pagerank"]({"iters": 3, "out": "pr"})(df)
+    direct = pagerank(df, iters=3, rank_col="pr")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, direct.collect()))
