@@ -1537,6 +1537,22 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries, k=5, m=4, ks=8, n_iters=3)
 
 
+def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index (similarity.py: ivf_pq_topk) — the FAISS
+    ``IVF8,PQ4`` deployment shape: coarse cells prune candidates to
+    n_probe lists, PQ byte codes + a broadcast ADC LUT score inside them.
+    The oracle composes the IVF coarse-fit CTE chain (raw vectors) with
+    all four PQ subspace chains (normalized vectors)."""
+    from hyped_spark.operators.similarity import ivf_pq_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_pq_topk(emb, queries, k=5, n_lists=8, n_probe=2, m=4, ks=8,
+                       n_iters=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1623,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": pagerank_hosts,
         "warc_roundtrip_docs": warc_roundtrip_docs,
         "ann_topk_pq": ann_topk_pq,
+        "ann_topk_ivf_pq": ann_topk_ivf_pq,
     }
 
 
@@ -2018,6 +2035,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": _ann_lsh_oracle(dim=64, n_bits=6, k=5),
         "ann_topk_ivf": _ann_ivf_oracle(dim=64, n_lists=8, n_probe=2, k=5),
         "ann_topk_pq": _ann_pq_oracle(dim=64, m=4, ks=8, k=5, n_iters=3),
+        "ann_topk_ivf_pq": _ann_ivf_pq_oracle(
+            dim=64, n_lists=8, n_probe=2, m=4, ks=8, k=5, n_iters=3),
         "ann_topk_sq8": _ann_sq8_oracle(dim=64, k=5),
         "ann_topk_ivf_sq": _ann_ivf_sq_oracle(dim=64, n_lists=8, n_probe=2, k=5),
         # fixed spans (1,3)/(5,8), no truncation: marker insertion is pure
@@ -2780,6 +2799,146 @@ def _ann_pq_oracle(
         f"scored AS (SELECT l0.query_id, c0.vec_id, "
         f"round(1.0 - {adc_sum}, 6) AS approx_cosine "
         f"FROM {code_joins} JOIN lut0 l0 ON l0.cell = c0.cell {lut_joins})"
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+        SELECT query_id, vec_id, approx_cosine, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY approx_cosine DESC, vec_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+    )
+
+
+def _ann_ivf_pq_oracle(
+    dim: int = 64,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    ks: int = 8,
+    k: int = 5,
+    n_iters: int = 3,
+    train_cap: int = 100_000,
+) -> str:
+    """DuckDB twin of ivf_pq_topk — the _ann_ivf_oracle coarse-quantizer
+    chain (cells on RAW vectors) composed with the _ann_pq_oracle
+    subspace chains (codes/LUT on normalized vectors), candidates joined
+    on cell before the ADC sum."""
+    h = _H60.format(expr="CAST(vec_id AS VARCHAR)")
+    sd = dim // m
+    d2p = ("list_sum(list_transform(list_zip({x}, {c}), "
+           "z -> (z[1]-z[2])*(z[1]-z[2])))")
+    d2c = d2p.format(x="{x}", c="c.ce")
+    parts = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+        "FROM embeddings)",
+        "vn AS (SELECT vec_id, list_transform(e, x -> "
+        "round(x / sqrt(list_dot_product(e, e)), 6)) AS en FROM v)",
+        f"rv AS (SELECT vec_id, e, row_number() OVER (ORDER BY {h}, "
+        f"vec_id) AS rn FROM v)",
+        f"rn_ AS (SELECT vec_id, en, row_number() OVER (ORDER BY {h}, "
+        f"vec_id) AS rn FROM vn)",
+        f"tr AS (SELECT vec_id, e FROM rv WHERE rn <= {train_cap})",
+        f"trn AS (SELECT vec_id, en FROM rn_ WHERE rn <= {train_cap})",
+        # coarse quantizer (raw vectors, _ann_ivf_oracle shape)
+        f"c0 AS (SELECT rn - 1 AS cell, list_transform(e, x -> "
+        f"round(x, 6)) AS ce FROM rv WHERE rn <= {n_lists})",
+    ]
+    for t in range(n_iters):
+        parts.append(
+            f"a{t} AS (SELECT vec_id, e, cell FROM ("
+            f"SELECT t.vec_id, t.e, c.cell, row_number() OVER ("
+            f"PARTITION BY t.vec_id ORDER BY {d2c.format(x='t.e')}, c.cell) "
+            f"AS arn FROM tr t CROSS JOIN c{t} c) WHERE arn = 1)"
+        )
+        parts.append(
+            f"m{t} AS (SELECT cell, i, round(avg(e[i]), 6) AS mv "
+            f"FROM a{t} CROSS JOIN range(1, {dim + 1}) r(i) "
+            f"GROUP BY cell, i)"
+        )
+        parts.append(
+            f"c{t + 1} AS (SELECT c.cell, coalesce(g.ge, c.ce) AS ce "
+            f"FROM c{t} c LEFT JOIN (SELECT cell, list(mv ORDER BY i) AS ge "
+            f"FROM m{t} GROUP BY cell) g USING (cell))"
+        )
+    cf = f"c{n_iters}"
+    parts.append(
+        f"ccell AS (SELECT vec_id, cell FROM ("
+        f"SELECT v.vec_id, c.cell, row_number() OVER ("
+        f"PARTITION BY v.vec_id ORDER BY {d2c.format(x='v.e')}, c.cell) "
+        f"AS arn FROM v CROSS JOIN {cf} c) WHERE arn = 1)"
+    )
+    parts.append(
+        f"qcell AS (SELECT query_id, cell FROM ("
+        f"SELECT v.vec_id AS query_id, c.cell, row_number() OVER ("
+        f"PARTITION BY v.vec_id ORDER BY {d2c.format(x='v.e')}, c.cell) "
+        f"AS arn FROM v CROSS JOIN {cf} c WHERE v.vec_id < 8) "
+        f"WHERE arn <= {n_probe})"
+    )
+    # per-subspace PQ chains (normalized vectors, _ann_pq_oracle shape)
+    for j in range(m):
+        lo, hi = j * sd + 1, (j + 1) * sd
+        parts.append(f"s{j} AS (SELECT vec_id, en[{lo}:{hi}] AS s FROM trn)")
+        parts.append(
+            f"b{j}_0 AS (SELECT rn - 1 AS cell, en[{lo}:{hi}] AS ce "
+            f"FROM rn_ WHERE rn <= {ks})"
+        )
+        for t in range(n_iters):
+            parts.append(
+                f"pa{j}_{t} AS (SELECT vec_id, s, cell FROM ("
+                f"SELECT t.vec_id, t.s, b.cell, row_number() OVER ("
+                f"PARTITION BY t.vec_id ORDER BY "
+                f"{d2p.format(x='t.s', c='b.ce')}, b.cell) AS arn "
+                f"FROM s{j} t CROSS JOIN b{j}_{t} b) WHERE arn = 1)"
+            )
+            parts.append(
+                f"pm{j}_{t} AS (SELECT cell, i, round(avg(s[i]), 6) AS mv "
+                f"FROM pa{j}_{t} CROSS JOIN range(1, {sd + 1}) r(i) "
+                f"GROUP BY cell, i)"
+            )
+            parts.append(
+                f"b{j}_{t + 1} AS (SELECT b.cell, coalesce(g.ge, b.ce) "
+                f"AS ce FROM b{j}_{t} b LEFT JOIN (SELECT cell, "
+                f"list(mv ORDER BY i) AS ge FROM pm{j}_{t} GROUP BY cell) g "
+                f"USING (cell))"
+            )
+        parts.append(
+            f"code{j} AS (SELECT vec_id, cell FROM ("
+            f"SELECT n.vec_id, b.cell, row_number() OVER ("
+            f"PARTITION BY n.vec_id ORDER BY "
+            f"{d2p.format(x=f'n.en[{lo}:{hi}]', c='b.ce')}, b.cell) AS arn "
+            f"FROM vn n CROSS JOIN b{j}_{n_iters} b) WHERE arn = 1)"
+        )
+        parts.append(
+            f"lut{j} AS (SELECT n.vec_id AS query_id, b.cell, "
+            f"round({d2p.format(x=f'n.en[{lo}:{hi}]', c='b.ce')} / 2.0, 6) "
+            f"AS lv FROM vn n CROSS JOIN b{j}_{n_iters} b "
+            f"WHERE n.vec_id < 8)"
+        )
+    adc_sum = "l0.lv"
+    for j in range(1, m):
+        adc_sum = f"({adc_sum} + l{j}.lv)"
+    code_cols = ", ".join(f"cd{j}.cell AS k{j}" for j in range(m))
+    code_joins = "code0 cd0 " + " ".join(
+        f"JOIN code{j} cd{j} USING (vec_id)" for j in range(1, m)
+    )
+    parts.append(
+        f"codes AS (SELECT cd0.vec_id, {code_cols} FROM {code_joins})"
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{j} l{j} ON l{j}.query_id = l0.query_id "
+        f"AND l{j}.cell = cd.k{j}"
+        for j in range(1, m)
+    )
+    parts.append(
+        f"scored AS (SELECT l0.query_id, cc.vec_id, "
+        f"round(1.0 - {adc_sum}, 6) AS approx_cosine "
+        f"FROM qcell qc JOIN ccell cc USING (cell) "
+        f"JOIN codes cd ON cd.vec_id = cc.vec_id "
+        f"JOIN lut0 l0 ON l0.query_id = qc.query_id "
+        f"AND l0.cell = cd.k0 {lut_joins})"
     )
     return (
         "WITH " + ",\n".join(parts)

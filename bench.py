@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "warc_roundtrip_docs",
     # PQ ANN: per-subspace codebooks, byte codes, broadcast ADC LUT fold
     "ann_topk_pq",
+    # IVF-PQ: coarse cells prune candidates, ADC scores inside them
+    "ann_topk_ivf_pq",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

@@ -701,3 +701,114 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "approx_cosine", "rank")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    ks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    train_cap: int = 100_000,
+    n_iters: int = 3,
+) -> DataFrame:
+    """IVF-PQ: the composition FAISS deploys as ``IVFx,PQm`` — a k-means
+    coarse quantizer prunes candidates to ``n_probe`` cells, and within
+    them scoring runs on PQ byte codes via the broadcast ADC look-up
+    table. (Codes quantize the vector itself, not the cell residual — the
+    residual refinement is a recall dial this deterministic/replayable
+    variant trades away; both sub-fits are the existing bounded trainers.)
+
+    The 100 TB shape combines both parents': corpus state per vector is
+    one int cell + ``m`` byte codes (no full-precision reread), the
+    candidate join is a cell equi-join (corpus never duplicated), and ADC
+    is a native fold — so a query touches ``n_probe/n_lists`` of the
+    corpus and reads only codes."""
+    from pyspark.sql import Window
+
+    C = ivf_train_centroids(
+        corpus, n_lists, id_col, vec_col, train_cap=train_cap,
+        n_iters=n_iters,
+    )
+    B = pq_train_codebooks(
+        corpus, m, ks, id_col, vec_col, train_cap=train_cap,
+        n_iters=n_iters,
+    )
+    sd = B.shape[2]
+
+    def _vn(col: Column) -> Column:
+        d = col.cast("array<double>")
+        return F.transform(d, lambda x: F.round(x / norm_col(d), 6))
+
+    def make_cells_udf(n: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def cells(vec: pd.Series) -> pd.Series:  # pragma: no cover (executor)
+            M = np.stack(vec.to_numpy())
+            d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :n].astype(np.int32)
+            return pd.Series(list(order))
+        return cells
+
+    def make_codes_udf():
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def codes(vec: pd.Series) -> pd.Series:  # pragma: no cover (executor)
+            M = np.stack(vec.to_numpy())
+            out = np.empty((len(M), B.shape[0]), dtype=np.int32)
+            for j in range(B.shape[0]):
+                Mj = M[:, j * sd:(j + 1) * sd]
+                d2 = ((Mj[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                out[:, j] = np.argmin(d2, axis=1)
+            return pd.Series(list(out))
+        return codes
+
+    def make_lut_udf():
+        @F.pandas_udf(T.ArrayType(T.DoubleType()))
+        def lut(vec: pd.Series) -> pd.Series:  # pragma: no cover (executor)
+            M = np.stack(vec.to_numpy())
+            out = np.empty((len(M), B.shape[0] * B.shape[1]))
+            for j in range(B.shape[0]):
+                Mj = M[:, j * sd:(j + 1) * sd]
+                d2 = ((Mj[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                out[:, j * B.shape[1]:(j + 1) * B.shape[1]] = \
+                    np.round(d2 / 2.0, 6)
+            return pd.Series(list(out))
+        return lut
+
+    cv = F.col("__cv").cast("array<double>")
+    c = (
+        spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")))
+        .withColumn("__cell", make_cells_udf(1)(cv)[0])
+        .withColumn("__codes", make_codes_udf()(_vn(F.col("__cv"))))
+        .drop("__cv")
+    )
+    qv = F.col("__qv").cast("array<double>")
+    q = (
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+        .withColumn("__lut", make_lut_udf()(_vn(F.col("__qv"))))
+        .withColumn("__cell", F.explode(make_cells_udf(n_probe)(qv)))
+        .drop("__qv")
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc + F.element_at(
+            F.col("__lut"),
+            (j * ks + F.element_at(F.col("__codes"), j + 1) + 1).cast("int"),
+        ),
+    )
+    scored = c.join(F.broadcast(q), "__cell").withColumn(
+        "approx_cosine", F.round(1.0 - adc, 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "approx_cosine", "rank")
+    )

@@ -483,6 +483,15 @@ def main() -> None:
         ("rank-limit pushed (WindowGroupLimit)", "WindowGroupLimit" in p),
     ]))
 
+    # IVF-PQ: candidate set pruned by the cell equi-join; codes-only flow
+    p = plan_of(q["ann_topk_ivf_pq"](spark, SF))
+    sections.append(("ann_topk_ivf_pq (cell equi-join over byte codes)", p, [
+        ("cell equi-join is broadcast-hash", "BroadcastHashJoin" in p),
+        ("no cartesian", "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("rank-limit pushed (WindowGroupLimit)", "WindowGroupLimit" in p),
+    ]))
+
     # pagerank: after N iterations the returned frame's lineage must be a
     # checkpoint scan, not N stacked join+agg rounds (loop-plan-explosion
     # discipline — an uncheckpointed loop doubles the plan per round)

@@ -724,3 +724,33 @@ def test_pq_topk_quality(spark):
     assert np.isfinite(B).all()
     with _pt.raises(ValueError, match="divisible"):
         pq_train_codebooks(emb, m=7, ks=8)
+
+
+def test_ivf_pq_topk_quality(spark):
+    """IVF-PQ composition: deterministic, self-in-top-k (its own cell is
+    its nearest and its own codes minimize ADC), candidate set ⊆ probed
+    cells (matches plain PQ scores on shared pairs)."""
+    from hyped_spark.operators.similarity import ivf_pq_topk, pq_topk
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = ivf_pq_topk(emb, queries, k=5, n_lists=8, n_probe=2, m=4, ks=8,
+                    n_iters=3)
+    rows = a.collect()
+    assert rows
+    again = ivf_pq_topk(emb, queries, k=5, n_lists=8, n_probe=2, m=4,
+                        ks=8, n_iters=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    assert all(q in vs for q, vs in by_q.items())
+    # scores agree with plain PQ (same codebooks) wherever pairs overlap
+    full = {(r.query_id, r.vec_id): r.approx_cosine
+            for r in pq_topk(emb, queries, k=50, m=4, ks=8,
+                             n_iters=3).collect()}
+    for r in rows:
+        if (r.query_id, r.vec_id) in full:
+            assert full[(r.query_id, r.vec_id)] == r.approx_cosine
