@@ -1553,6 +1553,34 @@ def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                        n_iters=3)
 
 
+_CAPS_BLOCK = "SUBSCRIBE NOW AND FOLLOW US ON ALL THE SOCIAL MEDIA CHANNELS"
+_DIGIT_BLOCK = "12 34 56 78 90 12 34 56 78 90 12 34"
+_SHORT_BLOCK = "too short block"
+
+
+def extract_blocks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-style block-density boilerplate extraction
+    (hyped_spark/functions/text.py: extract_blocks_col): paragraph blocks
+    are injected deterministically — a shouting nav block (doc_id%3), a
+    numeric chrome block (doc_id%4), an under-length block (doc_id%5) —
+    and the extractor must keep exactly the real paragraph. Native HOF,
+    map-only in both engines."""
+    from hyped_spark.functions.text import extract_blocks_col
+
+    d = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat_ws(
+        "\n\n",
+        F.when(did % 3 == 0, F.lit(_CAPS_BLOCK)),
+        F.col("text"),
+        F.when(did % 4 == 0, F.lit(_DIGIT_BLOCK)),
+        F.when(did % 5 == 0, F.lit(_SHORT_BLOCK)),
+    )
+    return d.select(
+        "doc_id", extract_blocks_col(injected).alias("clean")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1640,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip_docs": warc_roundtrip_docs,
         "ann_topk_pq": ann_topk_pq,
         "ann_topk_ivf_pq": ann_topk_ivf_pq,
+        "extract_blocks_docs": extract_blocks_docs,
     }
 
 
@@ -2037,6 +2066,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_pq": _ann_pq_oracle(dim=64, m=4, ks=8, k=5, n_iters=3),
         "ann_topk_ivf_pq": _ann_ivf_pq_oracle(
             dim=64, n_lists=8, n_probe=2, m=4, ks=8, k=5, n_iters=3),
+        "extract_blocks_docs": _extract_blocks_oracle(),
         "ann_topk_sq8": _ann_sq8_oracle(dim=64, k=5),
         "ann_topk_ivf_sq": _ann_ivf_sq_oracle(dim=64, n_lists=8, n_probe=2, k=5),
         # fixed spans (1,3)/(5,8), no truncation: marker insertion is pure
@@ -3388,6 +3418,21 @@ def _pagerank_oracle() -> str:
         "FROM documents"
     )
     return pagerank_sql(edges, iters=5)
+
+
+def _extract_blocks_oracle() -> str:
+    from hyped_spark.functions.text import extract_blocks_sql
+
+    injected = (
+        "concat_ws(chr(10) || chr(10), "
+        f"CASE WHEN doc_id % 3 = 0 THEN '{_CAPS_BLOCK}' END, text, "
+        f"CASE WHEN doc_id % 4 = 0 THEN '{_DIGIT_BLOCK}' END, "
+        f"CASE WHEN doc_id % 5 = 0 THEN '{_SHORT_BLOCK}' END)"
+    )
+    return (
+        f"SELECT doc_id, {extract_blocks_sql(f'({injected})')} AS clean "
+        f"FROM documents"
+    )
 
 
 def _canonical_url_oracle() -> str:

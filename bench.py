@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "ann_topk_pq",
     # IVF-PQ: coarse cells prune candidates, ADC scores inside them
     "ann_topk_ivf_pq",
+    # jusText-style block-density extraction (native HOF, map-only)
+    "extract_blocks_docs",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

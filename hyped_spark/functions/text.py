@@ -354,3 +354,57 @@ def normalize_text_sql(expr: str, nfc: bool = True) -> str:
     e = f"nfc_normalize({expr})" if nfc else expr
     e = f"regexp_replace({e}, '[\\p{{Cc}}\\p{{Cf}}]+', ' ', 'g')"
     return f"trim(regexp_replace({e}, '\\s+', ' ', 'g'))"
+
+
+def extract_blocks_col(
+    text: Column,
+    min_words: int = 10,
+    max_upper_frac: float = 0.5,
+    max_digit_frac: float = 0.3,
+) -> Column:
+    """jusText/boilerpipe-style BLOCK-density main-content extraction:
+    split on blank lines into paragraph blocks and keep the dense ones —
+    at least ``min_words`` words, not shouting (uppercase fraction of
+    letters ≤ ``max_upper_frac``: nav bars and buttons are CAPS-heavy),
+    not numeric chrome (digit fraction ≤ ``max_digit_frac``: dates,
+    counters, prices). Survivors re-join with blank lines.
+
+    This is the PARAGRAPH-granularity sibling of :func:`c4_line_filter_col`
+    (the line gate): jusText's insight is that boilerplate segments at
+    block boundaries, so short/shouty/numeric BLOCKS drop whole. One
+    native higher-order filter — map-only, zero shuffle, no UDF."""
+    blocks = F.split(text, r"\n{2,}")
+
+    def _keep(b: Column) -> Column:
+        words = F.size(F.split(F.trim(b), r"\s+"))
+        letters = F.length(F.regexp_replace(b, r"[^\p{L}]", ""))
+        uppers = F.length(F.regexp_replace(b, r"[^\p{Lu}]", ""))
+        digits = F.length(F.regexp_replace(b, r"[^0-9]", ""))
+        chars = F.length(b)
+        return (
+            (words >= min_words)
+            & (uppers <= F.greatest(letters, F.lit(1)) * max_upper_frac)
+            & (digits <= F.greatest(chars, F.lit(1)) * max_digit_frac)
+        )
+
+    return F.array_join(F.filter(blocks, _keep), "\n\n")
+
+
+def extract_blocks_sql(
+    expr: str,
+    min_words: int = 10,
+    max_upper_frac: float = 0.5,
+    max_digit_frac: float = 0.3,
+) -> str:
+    """DuckDB twin of :func:`extract_blocks_col`."""
+    letters = r"length(regexp_replace(b, '[^\p{L}]', '', 'g'))"
+    uppers = r"length(regexp_replace(b, '[^\p{Lu}]', '', 'g'))"
+    digits = "length(regexp_replace(b, '[^0-9]', '', 'g'))"
+    return (
+        "coalesce(array_to_string(list_filter("
+        f"regexp_split_to_array({expr}, '\\n{{2,}}'), b -> "
+        f"len(regexp_split_to_array(trim(b), '\\s+')) >= {min_words} "
+        f"AND {uppers} <= greatest({letters}, 1) * {max_upper_frac!r} "
+        f"AND {digits} <= greatest(length(b), 1) * {max_digit_frac!r}), "
+        "chr(10) || chr(10)), '')"
+    )

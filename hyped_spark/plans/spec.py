@@ -433,6 +433,21 @@ def _linear_classifier(p: dict) -> Stage:
     return run
 
 
+@register("extract_blocks")
+def _extract_blocks(p: dict) -> Stage:
+    from hyped_spark.functions.text import extract_blocks_col
+    col = p.get("text_col", "text")
+    return lambda df: df.withColumn(
+        p.get("out", col),
+        extract_blocks_col(
+            F.col(col),
+            min_words=p.get("min_words", 10),
+            max_upper_frac=p.get("max_upper_frac", 0.5),
+            max_digit_frac=p.get("max_digit_frac", 0.3),
+        ),
+    )
+
+
 @register("pagerank")
 def _pagerank(p: dict) -> Stage:
     """Input frame = the (src, dst) edge list; output = (node, rank)."""
