@@ -1581,6 +1581,33 @@ def extract_blocks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def outlinks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (hyped_spark/functions/url.py: extract_links_col)
+    — the crawl-frontier feed that composes with pagerank: synthesized
+    HTML per doc carries an absolute link, a root-relative link (resolved
+    against the page's base), a fragment, and on every 3rd doc a
+    single-quoted external link. Native regexp in both engines."""
+    from hyped_spark.functions.url import extract_links_col
+
+    d = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<p><a href="https://site'), (F.col("doc_id") % 7).cast("string"),
+        F.lit('.org/p/'), did, F.lit('">x</a><a href="/rel/'), did,
+        F.lit('">r</a><a href="#top">f</a>'),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("<a href='http://ext"),
+                        (F.col("doc_id") % 5).cast("string"),
+                        F.lit(".net/q'>e</a>"))).otherwise(F.lit("")),
+        F.lit("</p>"),
+    )
+    base = F.concat(F.lit("https://base"), (F.col("doc_id") % 4).cast("string"),
+                    F.lit(".example/page"))
+    return d.select(
+        "doc_id", extract_links_col(html, base).alias("links")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1669,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pq": ann_topk_pq,
         "ann_topk_ivf_pq": ann_topk_ivf_pq,
         "extract_blocks_docs": extract_blocks_docs,
+        "outlinks_docs": outlinks_docs,
     }
 
 
@@ -2067,6 +2095,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf_pq": _ann_ivf_pq_oracle(
             dim=64, n_lists=8, n_probe=2, m=4, ks=8, k=5, n_iters=3),
         "extract_blocks_docs": _extract_blocks_oracle(),
+        "outlinks_docs": _outlinks_oracle(),
         "ann_topk_sq8": _ann_sq8_oracle(dim=64, k=5),
         "ann_topk_ivf_sq": _ann_ivf_sq_oracle(dim=64, n_lists=8, n_probe=2, k=5),
         # fixed spans (1,3)/(5,8), no truncation: marker insertion is pure
@@ -3418,6 +3447,23 @@ def _pagerank_oracle() -> str:
         "FROM documents"
     )
     return pagerank_sql(edges, iters=5)
+
+
+def _outlinks_oracle() -> str:
+    from hyped_spark.functions.url import extract_links_sql
+
+    html = (
+        "('<p><a href=\"https://site' || (doc_id % 7) || '.org/p/' || doc_id"
+        " || '\">x</a><a href=\"/rel/' || doc_id"
+        " || '\">r</a><a href=\"#top\">f</a>'"
+        " || CASE WHEN doc_id % 3 = 0 THEN '<a href=''http://ext'"
+        " || (doc_id % 5) || '.net/q''>e</a>' ELSE '' END || '</p>')"
+    )
+    base = "('https://base' || (doc_id % 4) || '.example/page')"
+    return (
+        f"SELECT doc_id, {extract_links_sql(html, base)} AS links "
+        f"FROM documents"
+    )
 
 
 def _extract_blocks_oracle() -> str:

@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "ann_topk_ivf_pq",
     # jusText-style block-density extraction (native HOF, map-only)
     "extract_blocks_docs",
+    # outlink extraction + base resolution (native regexp, map-only)
+    "outlinks_docs",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

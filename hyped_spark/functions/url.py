@@ -143,3 +143,54 @@ def registrable_domain_sql(expr: str, n_labels: int = 2) -> str:
         f"CASE WHEN len({p}) <= {n_labels} THEN {expr} "
         f"ELSE array_to_string({p}[-{n_labels}:], '.') END"
     )
+
+
+def extract_links_col(html: Column, base_url: Column | None = None) -> Column:
+    """All outlinks of an HTML page: every ``href="..."`` / ``href='...'``
+    value, absolute ``http(s)`` links kept as-is, root-relative ``/path``
+    links resolved against ``base_url``'s scheme+host when given, all
+    others (fragments, javascript:, mailto:, protocol-relative) dropped.
+    Native ``regexp_extract_all`` + transform — map-only; feeds
+    :func:`hyped_spark.operators.graphs.pagerank` via
+    ``host_col``/``registrable_domain_col`` to build the crawl's host
+    graph. Lookaround-free patterns (Java regex ≡ RE2)."""
+    vals = F.concat(
+        F.regexp_extract_all(html, F.lit('href="([^"]*)"'), 1),
+        F.regexp_extract_all(html, F.lit("href='([^']*)'"), 1),
+    )
+    if base_url is not None:
+        root = F.regexp_extract(
+            F.trim(base_url), r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+        vals = F.transform(
+            vals,
+            lambda v: F.when(v.rlike(r"^https?://"), v)
+            .when(v.rlike(r"^/([^/]|$)") & (root != ""), F.concat(root, v))
+            .otherwise(F.lit(None)),
+        )
+    else:
+        vals = F.transform(
+            vals, lambda v: F.when(v.rlike(r"^https?://"), v)
+        )
+    return F.filter(vals, lambda v: v.isNotNull())
+
+
+def extract_links_sql(html_expr: str, base_expr: str | None = None) -> str:
+    """DuckDB twin of :func:`extract_links_col` (duplicates preserved in
+    both engines — dedup is the caller's choice, keeping list order
+    deterministic for the value comparison)."""
+    dq = f"regexp_extract_all({html_expr}, 'href=\"([^\"]*)\"', 1)"
+    sq = f"regexp_extract_all({html_expr}, 'href=''([^'']*)''', 1)"
+    merged = f"list_concat({dq}, {sq})"
+    if base_expr is not None:
+        root = (f"coalesce(regexp_extract(trim({base_expr}), "
+                f"'^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1), '')")
+        resolve = (
+            f"CASE WHEN regexp_matches(v, '^https?://') THEN v "
+            f"WHEN regexp_matches(v, '^/([^/]|$)') AND {root} != '' "
+            f"THEN {root} || v ELSE NULL END"
+        )
+    else:
+        resolve = "CASE WHEN regexp_matches(v, '^https?://') THEN v END"
+    return (
+        f"list_filter([{resolve} FOR v IN {merged}], x -> x IS NOT NULL)"
+    )

@@ -172,3 +172,25 @@ def test_blocklist_no_broadcast_same_result(spark):
     b = sorted(r.id for r in
                filter_blocklisted_urls(df, bl, broadcast_hits=False).collect())
     assert a == b == [6, 7]
+
+
+def test_extract_links_resolution_rules(spark):
+    from hyped_spark.functions.url import extract_links_col
+
+    rows = [(0,
+             '<a href="https://a.example/x">x</a> <a href="/rel">r</a> '
+             "<a href='http://b.example/y'>y</a> <a href=\"#frag\">f</a> "
+             '<a href="mailto:z@q">m</a> <a href="//proto.rel/p">pr</a>',
+             "https://Base.example:8080/page")]
+    df = spark.createDataFrame(rows, "id long, html string, url string")
+    got = df.select(
+        extract_links_col(F.col("html"), F.col("url")).alias("l")
+    ).collect()[0].l
+    # absolute kept, root-relative resolved against scheme+host (case and
+    # port preserved from the base), fragment/mailto/protocol-relative drop
+    assert got == ["https://a.example/x", "https://Base.example:8080/rel",
+                   "http://b.example/y"]
+    # without a base, only absolute links survive
+    bare = df.select(extract_links_col(F.col("html")).alias("l")) \
+        .collect()[0].l
+    assert bare == ["https://a.example/x", "http://b.example/y"]
