@@ -2719,7 +2719,7 @@ def _ann_ivf_oracle(
                 FROM tr t CROSS JOIN c{t} c
             ) WHERE arn = 1
         ), m{t} AS (
-            SELECT cell, i, round(avg(e[i]), 6) AS mv
+            SELECT cell, i, round(avg(e[i]) + 1e-9, 6) AS mv
             FROM a{t} CROSS JOIN range(1, {dim + 1}) r(i)
             GROUP BY cell, i
         ), c{t + 1} AS (
@@ -2820,7 +2820,7 @@ def _ann_pq_oracle(
                 f"FROM s{j} t CROSS JOIN b{j}_{t} b) WHERE arn = 1)"
             )
             parts.append(
-                f"m{j}_{t} AS (SELECT cell, i, round(avg(s[i]), 6) AS mv "
+                f"m{j}_{t} AS (SELECT cell, i, round(avg(s[i]) + 1e-9, 6) AS mv "
                 f"FROM a{j}_{t} CROSS JOIN range(1, {sd + 1}) r(i) "
                 f"GROUP BY cell, i)"
             )
@@ -2839,7 +2839,7 @@ def _ann_pq_oracle(
         )
         parts.append(
             f"lut{j} AS (SELECT n.vec_id AS query_id, b.cell, "
-            f"round({d2.format(x=f'n.en[{lo}:{hi}]', c='b.ce')} / 2.0, 6) "
+            f"round({d2.format(x=f'n.en[{lo}:{hi}]', c='b.ce')} / 2.0 + 1e-9, 6) "
             f"AS lv FROM vn n CROSS JOIN b{j}_{n_iters} b "
             f"WHERE n.vec_id < 8)"
         )
@@ -2913,7 +2913,7 @@ def _ann_ivf_pq_oracle(
             f"AS arn FROM tr t CROSS JOIN c{t} c) WHERE arn = 1)"
         )
         parts.append(
-            f"m{t} AS (SELECT cell, i, round(avg(e[i]), 6) AS mv "
+            f"m{t} AS (SELECT cell, i, round(avg(e[i]) + 1e-9, 6) AS mv "
             f"FROM a{t} CROSS JOIN range(1, {dim + 1}) r(i) "
             f"GROUP BY cell, i)"
         )
@@ -2953,7 +2953,7 @@ def _ann_ivf_pq_oracle(
                 f"FROM s{j} t CROSS JOIN b{j}_{t} b) WHERE arn = 1)"
             )
             parts.append(
-                f"pm{j}_{t} AS (SELECT cell, i, round(avg(s[i]), 6) AS mv "
+                f"pm{j}_{t} AS (SELECT cell, i, round(avg(s[i]) + 1e-9, 6) AS mv "
                 f"FROM pa{j}_{t} CROSS JOIN range(1, {sd + 1}) r(i) "
                 f"GROUP BY cell, i)"
             )
@@ -2972,7 +2972,7 @@ def _ann_ivf_pq_oracle(
         )
         parts.append(
             f"lut{j} AS (SELECT n.vec_id AS query_id, b.cell, "
-            f"round({d2p.format(x=f'n.en[{lo}:{hi}]', c='b.ce')} / 2.0, 6) "
+            f"round({d2p.format(x=f'n.en[{lo}:{hi}]', c='b.ce')} / 2.0 + 1e-9, 6) "
             f"AS lv FROM vn n CROSS JOIN b{j}_{n_iters} b "
             f"WHERE n.vec_id < 8)"
         )
@@ -3075,7 +3075,7 @@ def _ann_ivf_sq_oracle(
                 FROM tr t CROSS JOIN c{t} c
             ) WHERE arn = 1
         ), m{t} AS (
-            SELECT cell, i, round(avg(e[i]), 6) AS mv
+            SELECT cell, i, round(avg(e[i]) + 1e-9, 6) AS mv
             FROM a{t} CROSS JOIN range(1, {dim + 1}) r(i)
             GROUP BY cell, i
         ), c{t + 1} AS (

@@ -173,6 +173,17 @@ def lsh_topk(
     )
 
 
+
+# Nudge for 6-dp roundings of values that can sit EXACTLY on the decimal
+# half-boundary (cell means of 1e-6-multiple components; half-squared
+# distances between 6-dp grids). At the boundary, the rounding direction
+# is decided by ~1e-17 float-summation noise — DuckDB's PARALLEL avg()
+# makes that noise nondeterministic run-to-run (observed: ann_topk_pq
+# flaking at sf0.001). Adding 1e-9 moves the value off the boundary by
+# far more than any summation noise while never crossing a different
+# boundary; the SQL oracles add the same constant.
+_ROUND_EPS = 1e-9
+
 def ivf_train_centroids(
     corpus: DataFrame,
     n_lists: int,
@@ -217,7 +228,7 @@ def ivf_train_centroids(
         for j in range(len(C)):
             members = X[assign == j]
             if len(members):  # empty cell keeps its previous centroid
-                C[j] = np.round(members.mean(axis=0), 6)
+                C[j] = np.round(members.mean(axis=0) + _ROUND_EPS, 6)
     return C
 
 
@@ -605,7 +616,7 @@ def pq_train_codebooks(
             for c in range(ks):
                 members = Xj[assign == c]
                 if len(members):  # empty cell keeps its centroid
-                    C[c] = np.round(members.mean(axis=0), 6)
+                    C[c] = np.round(members.mean(axis=0) + _ROUND_EPS, 6)
         books[j] = C
     return books
 
@@ -670,7 +681,7 @@ def pq_topk(
                 # after rounding would sit exactly on the half-boundary
                 # and flip between engines on 1-ulp differences)
                 out[:, j * B.shape[1]:(j + 1) * B.shape[1]] = \
-                    np.round(d2 / 2.0, 6)
+                    np.round(d2 / 2.0 + _ROUND_EPS, 6)
             return pd.Series(list(out))
 
         return lut
@@ -775,7 +786,7 @@ def ivf_pq_topk(
                 Mj = M[:, j * sd:(j + 1) * sd]
                 d2 = ((Mj[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
                 out[:, j * B.shape[1]:(j + 1) * B.shape[1]] = \
-                    np.round(d2 / 2.0, 6)
+                    np.round(d2 / 2.0 + _ROUND_EPS, 6)
             return pd.Series(list(out))
         return lut
 
