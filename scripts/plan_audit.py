@@ -503,6 +503,19 @@ def main() -> None:
         ("plan size bounded", len(p) < 4000),
     ]))
 
+    # map-only webtext stages: no exchange, and for the native pair no
+    # Python either (WARC's codec is the one legitimate Arrow UDF)
+    for name, allow_python in [("extract_blocks_docs", False),
+                               ("outlinks_docs", False),
+                               ("warc_roundtrip_docs", True)]:
+        p = plan_of(q[name](spark, SF))
+        checks = [("no exchange", not re.search(r"\(\d+\) Exchange\b", p)),
+                  ("no cartesian", "CartesianProduct" not in p)]
+        if not allow_python:
+            checks.append(("no Python eval",
+                           "EvalPython" not in p and "InPandas" not in p))
+        sections.append((f"{name} (map-only)", p, checks))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)\n"]
     all_ok = True
     for title, plan, checks in sections:
