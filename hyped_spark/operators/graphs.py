@@ -11,8 +11,10 @@ PageRank centrality per domain). The input is the web graph as a plain
   one hash aggregation of contributions by destination — the two
   unavoidable exchanges of distributed PageRank; out-degrees are computed
   once, outside the loop;
-- the dangling-node mass is a one-scalar driver collect per iteration
-  (metadata-sized, like the IVF centroid pull) folded back as a literal;
+- the dangling-node mass rides as a broadcast 1-row aggregate inside the
+  same iteration job (no driver round-trip per iteration — one Spark job
+  per round, which is what bounds wall-clock on small graphs where fixed
+  job latency dominates);
 - each iteration ends in an eager ``localCheckpoint`` with the superseded
   frame released immediately — the loop-plan-explosion discipline from the
   connected-components dedup (a frame referenced twice per round otherwise
@@ -71,24 +73,26 @@ def pagerank(
     ).localCheckpoint(eager=True)
 
     for _ in range(iters):
-        dang_row = (
+        # dangling mass = Σ rank over nodes with no out-edges, carried as
+        # a broadcast 1-row frame so the whole round is ONE Spark job
+        dang = F.broadcast(
             ranks.join(deg, ranks["__n"] == deg["__s"], "left_anti")
-            .agg(F.sum("__r"))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("__r"), F.lit(0.0)).alias("__dang"))
         )
-        dang = float(dang_row or 0.0)
-        base = (1.0 - damping) / n_nodes + damping * (dang / n_nodes)
         inflow = (
             ed.join(ranks, ed["__s"] == ranks["__n"])
             .groupBy("__d")
             .agg(F.sum(F.col("__r") / F.col("__deg")).alias("__in"))
         )
+        # association mirrors the SQL twin exactly: ((1-d)/N + d*(dang/N))
+        # + d*inflow, all engine-side doubles
         new = nodes.join(
             inflow, nodes["__n"] == inflow["__d"], "left"
-        ).select(
+        ).crossJoin(dang).select(
             "__n",
             _rnd(
-                F.lit(base)
+                F.lit((1.0 - damping) / n_nodes)
+                + F.lit(damping) * (F.col("__dang") / F.lit(float(n_nodes)))
                 + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
             ).alias("__r"),
         ).localCheckpoint(eager=True)
