@@ -76,3 +76,26 @@ def test_read_warc_dataframe(spark, tmp_path):
     resp = read_warc(spark, str(tmp_path), types=("response",))
     assert resp.count() == 2 * (len(_records()) - 1)
     assert set(r.warc_type for r in resp.collect()) == {"response"}
+
+
+def test_warc_roundtrip_property():
+    """Property: ANY payload bytes — including ones embedding record
+    markers, CRLF runs, and gzip magic — survive encode→parse exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=200), min_size=1,
+                    max_size=8))
+    def check(payloads):
+        blob = b"".join(
+            encode_warc_record(f"https://h.example/{i}", p)
+            for i, p in enumerate(payloads)
+        )
+        recs = parse_warc_bytes(blob)
+        assert [r["payload"] for r in recs] == payloads
+        assert [r["url"] for r in recs] == [
+            f"https://h.example/{i}" for i in range(len(payloads))
+        ]
+
+    check()

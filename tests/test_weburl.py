@@ -194,3 +194,42 @@ def test_extract_links_resolution_rules(spark):
     bare = df.select(extract_links_col(F.col("html")).alias("l")) \
         .collect()[0].l
     assert bare == ["https://a.example/x", "http://b.example/y"]
+
+
+def test_suffix_match_randomized_vs_python_reference(spark):
+    """Randomized batch check: for 300 seeded random hosts/URLs and a
+    random blocklist, the engine's suffix-match verdicts equal a plain
+    Python reference computed from first principles."""
+    import random
+
+    rng = random.Random(20260817)
+    labels = ["a", "bb", "ccc", "example", "site", "com", "org", "net"]
+
+    def rand_host():
+        return ".".join(rng.choice(labels)
+                        for _ in range(rng.randint(1, 4)))
+
+    urls = [(i, f"https://{rand_host()}/p/{i}") for i in range(300)]
+    domains = sorted({rand_host() for _ in range(12)})
+
+    def py_blocked(url):
+        host = url.split("://")[1].split("/")[0].lower()
+        parts = host.split(".")
+        sufx = {".".join(parts[i:]) for i in range(len(parts))}
+        return bool(sufx & set(domains))
+
+    df = spark.createDataFrame(urls, "id long, url string")
+    bl = spark.createDataFrame([(d,) for d in domains], "domain string")
+    flags = {
+        r.id: r.blocked
+        for r in filter_blocklisted_urls(df, bl, mode="flag").collect()
+    }
+    expected = {i: py_blocked(u) for i, u in urls}
+    assert flags == expected
+    lit = {
+        r.id: r.b
+        for r in df.select(
+            "id", blocked_url_col(F.col("url"), domains).alias("b")
+        ).collect()
+    }
+    assert lit == expected
