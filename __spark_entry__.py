@@ -1608,6 +1608,48 @@ def outlinks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def robots_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness verdicts (hyped_spark/operators/robots.py):
+    per-host robots files are synthesized with a per-bot group (must be
+    ignored), a ``User-agent: *`` group with an Allow override inside a
+    Disallowed subtree, and a host-specific Disallow; page paths hit every
+    branch — longest-match Allow, prefix Disallow, other-group isolation,
+    and no-match default-allow. Full SQL replay of group resolution and
+    longest-match ranking."""
+    from hyped_spark.operators.robots import parse_robots, robots_filter
+
+    d = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("site"), (did % 5).cast("string"), F.lit(".org"))
+    path = (
+        F.when(did % 4 == 0, F.concat(F.lit("/pub/open/"), did.cast("string")))
+        .when(did % 4 == 1, F.concat(F.lit("/pub/x"), did.cast("string")))
+        .when(did % 4 == 2,
+              F.concat(F.lit("/tmp"), (did % 5).cast("string"),
+                       F.lit("/y"), did.cast("string")))
+        .otherwise(F.concat(F.lit("/private/"), did.cast("string")))
+    )
+    pages = d.select(
+        "doc_id", F.concat(F.lit("https://"), host, path).alias("url")
+    )
+    robots = (
+        d.select(host.alias("host")).distinct()
+        .withColumn(
+            "robots_txt",
+            F.concat(
+                F.lit("# synthetic rules\nUser-agent: googlebot\n"
+                      "Disallow: /private\n\nUser-agent: bing\n"
+                      "User-agent: *\nAllow: /pub/open\nDisallow: /pub\n"
+                      "Disallow: /tmp"),
+                F.regexp_extract(F.col("host"), r"site(\d)", 1),
+                F.lit("\nDisallow:\n"),
+            ),
+        )
+    )
+    out = robots_filter(pages, parse_robots(robots), mode="flag")
+    return out.select("doc_id", "url", "allowed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1697,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf_pq": ann_topk_ivf_pq,
         "extract_blocks_docs": extract_blocks_docs,
         "outlinks_docs": outlinks_docs,
+        "robots_filter_docs": robots_filter_docs,
     }
 
 
@@ -2096,6 +2139,7 @@ def oracle_sql() -> dict[str, str]:
             dim=64, n_lists=8, n_probe=2, m=4, ks=8, k=5, n_iters=3),
         "extract_blocks_docs": _extract_blocks_oracle(),
         "outlinks_docs": _outlinks_oracle(),
+        "robots_filter_docs": _robots_filter_oracle(),
         "ann_topk_sq8": _ann_sq8_oracle(dim=64, k=5),
         "ann_topk_ivf_sq": _ann_ivf_sq_oracle(dim=64, n_lists=8, n_probe=2, k=5),
         # fixed spans (1,3)/(5,8), no truncation: marker insertion is pure
@@ -3447,6 +3491,37 @@ def _pagerank_oracle() -> str:
         "FROM documents"
     )
     return pagerank_sql(edges, iters=5)
+
+
+def _robots_filter_oracle() -> str:
+    from hyped_spark.operators.robots import robots_verdict_sql
+
+    robots_cte = (
+        "SELECT DISTINCT 'site' || (doc_id % 5) || '.org' AS host, "
+        "'# synthetic rules' || chr(10) || 'User-agent: googlebot' || chr(10)"
+        " || 'Disallow: /private' || chr(10) || chr(10)"
+        " || 'User-agent: bing' || chr(10) || 'User-agent: *' || chr(10)"
+        " || 'Allow: /pub/open' || chr(10) || 'Disallow: /pub' || chr(10)"
+        " || 'Disallow: /tmp' || (doc_id % 5) || chr(10) || 'Disallow:'"
+        " || chr(10) AS robots_txt FROM documents"
+    )
+    path = (
+        "CASE CAST(doc_id % 4 AS INTEGER)"
+        " WHEN 0 THEN '/pub/open/' || doc_id"
+        " WHEN 1 THEN '/pub/x' || doc_id"
+        " WHEN 2 THEN '/tmp' || (doc_id % 5) || '/y' || doc_id"
+        " ELSE '/private/' || doc_id END"
+    )
+    pages_cte = (
+        f"SELECT doc_id, 'https://site' || (doc_id % 5) || '.org' || {path} "
+        f"AS url, 'site' || (doc_id % 5) || '.org' AS host, {path} AS path "
+        f"FROM documents"
+    )
+    verdict = robots_verdict_sql(pages_cte=pages_cte, robots_cte=robots_cte)
+    return f"""
+        WITH p AS ({pages_cte}), v AS ({verdict})
+        SELECT p.doc_id, p.url, v.allowed FROM p JOIN v USING (url)
+    """
 
 
 def _outlinks_oracle() -> str:

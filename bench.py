@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "extract_blocks_docs",
     # outlink extraction + base resolution (native regexp, map-only)
     "outlinks_docs",
+    # robots.txt group resolution + longest-match verdicts
+    "robots_filter_docs",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

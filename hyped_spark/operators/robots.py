@@ -1,0 +1,199 @@
+"""robots.txt directives: parse the ``User-agent: *`` group and apply
+longest-match Allow/Disallow verdicts to page URLs.
+
+The politeness half of the crawl stack (outlinks feed the frontier —
+functions/url.py: extract_links_col — robots gates what the crawler may
+fetch, and at curation time "was this fetch even permitted" is a standard
+compliance filter). Implements the documented REP subset every major
+parser agrees on:
+
+- groups are maximal runs of consecutive ``User-agent:`` lines followed
+  by their rules; a group applies iff one of its agents is ``*``;
+- ``Allow:`` / ``Disallow:`` values are path PREFIXES; empty values are
+  no-ops; ``#`` comments and blank lines are stripped (blank lines do not
+  terminate groups — the modern-parser behavior);
+- a URL's verdict comes from the LONGEST matching prefix; on a length
+  tie Allow wins; no matching rule ⇒ allowed.
+
+Out of scope (documented): ``*``/``$`` wildcards, ``Crawl-delay``,
+per-bot groups other than ``*``.
+
+Scale shape: robots files exist per HOST, not per page — ``parse_robots``
+explodes lines and resolves groups with two same-partition windows (ONE
+host-keyed exchange over a hosts-sized frame). ``robots_filter`` joins
+pages to the broadcast rules table on host, keeps matching prefixes, and
+takes the longest per page with a window rank — the page payload crosses
+one exchange keyed by url.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_UA = r"^user-agent\s*:"
+_RULE = r"^(allow|disallow)\s*:"
+
+
+def parse_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """robots.txt text per host → (host, allow boolean, prefix string),
+    the ``User-agent: *`` group's prefix rules."""
+    lines = F.split(F.col(robots_col), "\n")
+    e = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(lines).alias("ord", "__raw"),
+    ).withColumn(
+        "__ln", F.trim(F.regexp_replace(F.col("__raw"), r"#.*$", ""))
+    ).filter(F.col("__ln") != "")
+    low = F.lower(F.col("__ln"))
+    val = F.trim(F.regexp_replace(F.col("__ln"), r"^[^:]*:", ""))
+    e = e.select(
+        "host", "ord",
+        low.rlike(_UA).alias("__ua"),
+        low.rlike(_RULE).alias("__rule"),
+        low.rlike(r"^allow\s*:").alias("allow"),
+        val.alias("__val"),
+    )
+    w = Window.partitionBy("host").orderBy("ord")
+    # a group starts at a UA line not preceded by another UA line; rules
+    # inherit the running group counter
+    e = e.withColumn(
+        "__start",
+        (F.col("__ua")
+         & ~F.coalesce(F.lag("__ua").over(w), F.lit(False))).cast("int"),
+    ).withColumn("__grp", F.sum("__start").over(w))
+    # the group is live iff any of its UA lines names '*'
+    wg = Window.partitionBy("host", "__grp")
+    e = e.withColumn(
+        "__star",
+        F.max((F.col("__ua") & (F.col("__val") == "*")).cast("int")).over(wg),
+    )
+    return (
+        e.filter(
+            F.col("__rule") & (F.col("__grp") > 0) & (F.col("__star") == 1)
+            & (F.col("__val") != "")
+        )
+        .select("host", "allow", F.col("__val").alias("prefix"))
+    )
+
+
+def url_path_col(url: Column) -> Column:
+    """Path component of a URL; empty/absent paths normalize to ``/``."""
+    p = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^#]*)?", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_filter(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    mode: str = "flag",
+    flag_col: str = "allowed",
+) -> DataFrame:
+    """Apply parsed robots rules to pages: longest matching prefix decides,
+    Allow wins length ties, no match ⇒ allowed. ``mode="drop"`` keeps only
+    allowed pages; ``mode="flag"`` adds a boolean."""
+    from hyped_spark.functions.url import host_col
+
+    p = pages.select(
+        F.col(url_col).alias("__u"),
+        host_col(F.col(url_col)).alias("host"),
+        url_path_col(F.col(url_col)).alias("__path"),
+    )
+    cand = p.join(F.broadcast(rules), "host", "left").filter(
+        F.col("prefix").isNull()
+        | F.col("__path").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("__u").orderBy(
+        F.length(F.coalesce(F.col("prefix"), F.lit(""))).desc(),
+        F.col("allow").desc(),
+    )
+    verdict = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "__u",
+            F.coalesce(F.col("allow"), F.lit(True)).alias(flag_col),
+        )
+    )
+    out = pages.join(verdict, pages[url_col] == verdict["__u"], "left") \
+        .drop("__u")
+    out = out.withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(True)))
+    if mode == "flag":
+        return out
+    if mode == "drop":
+        return out.filter(F.col(flag_col)).drop(flag_col)
+    raise ValueError(f"unknown robots mode: {mode!r}")
+
+
+def robots_verdict_sql(
+    robots_cte: str,
+    pages_cte: str,
+    flag_col: str = "allowed",
+) -> str:
+    """DuckDB twin: ``robots_cte`` selects (host, robots_txt), ``pages_cte``
+    selects (url, host, path); returns SQL yielding (url, allowed) with the
+    identical group/longest-match semantics."""
+    return f"""
+        WITH rb AS ({robots_cte}),
+        pg AS ({pages_cte}),
+        ln0 AS (
+            SELECT host,
+                   unnest(generate_series(1,
+                       len(string_split(robots_txt, chr(10))))) AS ord,
+                   unnest(string_split(robots_txt, chr(10))) AS raw
+            FROM rb
+        ),
+        ln AS (
+            SELECT host, ord,
+                   trim(regexp_replace(raw, '#.*$', '')) AS l
+            FROM ln0 WHERE trim(regexp_replace(raw, '#.*$', '')) != ''
+        ),
+        mk AS (
+            SELECT host, ord,
+                   regexp_matches(lower(l), '^user-agent\\s*:') AS ua,
+                   regexp_matches(lower(l), '^(allow|disallow)\\s*:') AS rule,
+                   regexp_matches(lower(l), '^allow\\s*:') AS al,
+                   trim(regexp_replace(l, '^[^:]*:', '')) AS v
+            FROM ln
+        ),
+        st AS (
+            SELECT *, CASE WHEN ua AND NOT coalesce(
+                       lag(ua) OVER (PARTITION BY host ORDER BY ord), false)
+                   THEN 1 ELSE 0 END AS strt
+            FROM mk
+        ),
+        grp AS (
+            SELECT *, sum(strt)
+                   OVER (PARTITION BY host ORDER BY ord) AS g
+            FROM st
+        ),
+        star AS (
+            SELECT *, max(CASE WHEN ua AND v = '*' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY host, g) AS s
+            FROM grp
+        ),
+        rules AS (
+            SELECT host, al AS allow, v AS prefix
+            FROM star WHERE rule AND g > 0 AND s = 1 AND v != ''
+        ),
+        cand AS (
+            SELECT pg.url, rules.allow, rules.prefix
+            FROM pg LEFT JOIN rules
+              ON pg.host = rules.host AND starts_with(pg.path, rules.prefix)
+        ),
+        verdict AS (
+            SELECT url, coalesce(allow, true) AS {flag_col}
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY url
+                    ORDER BY length(coalesce(prefix, '')) DESC,
+                             allow DESC) AS rn
+                FROM cand
+            ) WHERE rn = 1
+        )
+        SELECT url, {flag_col} FROM verdict
+    """

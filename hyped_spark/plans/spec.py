@@ -448,6 +448,22 @@ def _extract_blocks(p: dict) -> Stage:
     )
 
 
+@register("robots_filter")
+def _robots_filter(p: dict) -> Stage:
+    """Robots corpus referenced by path ((host, robots_txt) rows)."""
+    from hyped_spark.operators.robots import parse_robots, robots_filter
+
+    def run(df: DataFrame) -> DataFrame:
+        reader = getattr(df.sparkSession.read, p.get("format", "parquet"))
+        robots = reader(p["robots_path"])
+        return robots_filter(
+            df, parse_robots(robots),
+            url_col=p.get("url_col", "url"),
+            mode=p.get("mode", "drop"),
+        )
+    return run
+
+
 @register("pagerank")
 def _pagerank(p: dict) -> Stage:
     """Input frame = the (src, dst) edge list; output = (node, rank)."""

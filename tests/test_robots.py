@@ -1,0 +1,100 @@
+"""robots.txt parsing and longest-match verdicts (operators/robots.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyped_spark.operators.robots import (
+    parse_robots,
+    robots_filter,
+    url_path_col,
+)
+
+RB = "\n".join([
+    "# comment line",
+    "User-agent: googlebot",
+    "Disallow: /private",
+    "",
+    "User-agent: bing",
+    "User-agent: *",          # shared group: bing AND * -> applies
+    "Allow: /pub/open  # trailing comment",
+    "Disallow: /pub",
+    "Disallow: /tmp",
+    "Disallow:",              # empty value = no-op
+    "",
+    "User-agent: yandex",     # later non-star group: ignored
+    "Disallow: /",
+])
+
+
+def _rules(spark):
+    robots = spark.createDataFrame(
+        [("site.org", RB), ("open.org", "User-agent: *\n# no rules")],
+        "host string, robots_txt string",
+    )
+    return parse_robots(robots)
+
+
+def test_parse_star_group_only(spark):
+    got = sorted(map(tuple, _rules(spark).collect()))
+    assert got == [
+        ("site.org", False, "/pub"),
+        ("site.org", False, "/tmp"),
+        ("site.org", True, "/pub/open"),
+    ]
+
+
+def test_verdicts_longest_match(spark):
+    pages = spark.createDataFrame(
+        [
+            (0, "https://site.org/pub/open/x"),   # Allow beats /pub (longer)
+            (1, "https://site.org/pub/y"),
+            (2, "https://site.org/tmp/z"),
+            (3, "https://site.org/private/q"),    # googlebot group ignored
+            (4, "https://site.org/"),             # yandex group ignored
+            (5, "https://open.org/a"),            # star group, zero rules
+            (6, "https://unknown.net/a"),         # no robots at all
+        ],
+        "id long, url string",
+    )
+    got = {r.id: r.allowed
+           for r in robots_filter(pages, _rules(spark)).collect()}
+    assert got == {0: True, 1: False, 2: False, 3: True, 4: True,
+                   5: True, 6: True}
+    kept = {r.id for r in
+            robots_filter(pages, _rules(spark), mode="drop").collect()}
+    assert kept == {0, 3, 4, 5, 6}
+
+
+def test_bad_mode_raises(spark):
+    pages = spark.createDataFrame([(0, "https://site.org/")],
+                                  "id long, url string")
+    with pytest.raises(ValueError, match="mode"):
+        robots_filter(pages, _rules(spark), mode="nope")
+
+
+def test_url_path_normalization(spark):
+    df = spark.createDataFrame(
+        [("https://h.io",), ("https://h.io/",), ("https://h.io/a/b?q=1",),
+         ("https://h.io/x#frag",)],
+        "u string",
+    )
+    got = [r.p for r in df.select(url_path_col(F.col("u")).alias("p")).collect()]
+    assert got == ["/", "/", "/a/b?q=1", "/x"]
+
+
+def test_robots_spec_stage(spark, tmp_path):
+    from hyped_spark.plans.spec import _REGISTRY
+
+    rpath = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [("site.org", "User-agent: *\nDisallow: /no")],
+        "host string, robots_txt string",
+    ).write.parquet(rpath)
+    pages = spark.createDataFrame(
+        [(0, "https://site.org/no/x"), (1, "https://site.org/yes")],
+        "id long, url string",
+    )
+    out = _REGISTRY["robots_filter"]({"robots_path": rpath})(pages)
+    assert [r.id for r in out.collect()] == [1]
