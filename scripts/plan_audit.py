@@ -503,6 +503,16 @@ def main() -> None:
         ("plan size bounded", len(p) < 4000),
     ]))
 
+    # robots verdicts: rules broadcast to the page side; no cartesian
+    p = plan_of(q["robots_filter_docs"](spark, SF))
+    sections.append(("robots_filter_docs (broadcast rules, window verdict)", p, [
+        ("rules broadcast to pages", "BroadcastHashJoin" in p),
+        ("no cartesian", "CartesianProduct" not in p),
+        ("longest-match rank limited (WindowGroupLimit)",
+         "WindowGroupLimit" in p),
+        ("no Python eval", "EvalPython" not in p and "InPandas" not in p),
+    ]))
+
     # map-only webtext stages: no exchange, and for the native pair no
     # Python either (WARC's codec is the one legitimate Arrow UDF)
     for name, allow_python in [("extract_blocks_docs", False),
