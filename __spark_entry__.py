@@ -1650,6 +1650,23 @@ def robots_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "url", "allowed")
 
 
+def connected_components_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone connected components (hyped_spark/operators/graphs.py:
+    connected_components) — min-label propagation over a deterministic
+    chain graph (10 chains of 6 nodes, self-loop roots) synthesized from
+    documents; 6 fixed rounds cover the diameter so labels are exact, and
+    the oracle unrolls the same integer min-joins (no rounding contract)."""
+    from hyped_spark.operators.graphs import connected_components
+
+    d = _load(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 60
+    edges = d.select(
+        k.alias("src"),
+        F.when(k % 6 == 0, k).otherwise(k - 1).alias("dst"),
+    )
+    return connected_components(edges, iters=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1740,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_blocks_docs": extract_blocks_docs,
         "outlinks_docs": outlinks_docs,
         "robots_filter_docs": robots_filter_docs,
+        "connected_components_docs": connected_components_docs,
     }
 
 
@@ -2140,6 +2158,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_blocks_docs": _extract_blocks_oracle(),
         "outlinks_docs": _outlinks_oracle(),
         "robots_filter_docs": _robots_filter_oracle(),
+        "connected_components_docs": _connected_components_oracle(),
         "ann_topk_sq8": _ann_sq8_oracle(dim=64, k=5),
         "ann_topk_ivf_sq": _ann_ivf_sq_oracle(dim=64, n_lists=8, n_probe=2, k=5),
         # fixed spans (1,3)/(5,8), no truncation: marker insertion is pure
@@ -3491,6 +3510,17 @@ def _pagerank_oracle() -> str:
         "FROM documents"
     )
     return pagerank_sql(edges, iters=5)
+
+
+def _connected_components_oracle() -> str:
+    from hyped_spark.operators.graphs import connected_components_sql
+
+    edges = (
+        "SELECT (doc_id % 60) AS src, "
+        "CASE WHEN (doc_id % 60) % 6 = 0 THEN doc_id % 60 "
+        "ELSE (doc_id % 60) - 1 END AS dst FROM documents"
+    )
+    return connected_components_sql(edges, iters=6)
 
 
 def _robots_filter_oracle() -> str:

@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "outlinks_docs",
     # robots.txt group resolution + longest-match verdicts
     "robots_filter_docs",
+    # standalone min-label connected components (6 exact integer rounds)
+    "connected_components_docs",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

