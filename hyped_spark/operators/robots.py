@@ -197,3 +197,30 @@ def robots_verdict_sql(
         )
         SELECT url, {flag_col} FROM verdict
     """
+
+
+def parse_sitemaps(
+    robots: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """``Sitemap:`` declarations per host → (host, sitemap). Sitemap lines
+    are group-independent in REP (they apply regardless of User-agent
+    position), so this is a plain per-line extraction — native regexp over
+    the exploded lines, map-only."""
+    lines = F.split(F.col(robots_col), "\n")
+    e = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(lines).alias("__raw"),
+    ).withColumn(
+        "__ln", F.trim(F.regexp_replace(F.col("__raw"), r"#.*$", ""))
+    )
+    return (
+        e.filter(F.lower(F.col("__ln")).rlike(r"^sitemap\s*:"))
+        .select(
+            "host",
+            F.trim(F.regexp_replace(F.col("__ln"), r"^[^:]*:", ""))
+            .alias("sitemap"),
+        )
+        .filter(F.col("sitemap") != "")
+    )

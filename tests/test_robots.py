@@ -98,3 +98,16 @@ def test_robots_spec_stage(spark, tmp_path):
     )
     out = _REGISTRY["robots_filter"]({"robots_path": rpath})(pages)
     assert [r.id for r in out.collect()] == [1]
+
+
+def test_parse_sitemaps(spark):
+    from hyped_spark.operators.robots import parse_sitemaps
+
+    rb = ("User-agent: *\nDisallow: /x\n"
+          "Sitemap: https://site.org/sitemap.xml  # comment\n"
+          "sitemap: https://site.org/news.xml\nSitemap:\n")
+    robots = spark.createDataFrame([("site.org", rb)],
+                                   "host string, robots_txt string")
+    got = sorted(r.sitemap for r in parse_sitemaps(robots).collect())
+    assert got == ["https://site.org/news.xml",
+                   "https://site.org/sitemap.xml"]
