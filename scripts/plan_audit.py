@@ -492,6 +492,15 @@ def main() -> None:
         ("rank-limit pushed (WindowGroupLimit)", "WindowGroupLimit" in p),
     ]))
 
+    # connected components: same per-round lineage-cut contract as pagerank
+    p = plan_of(q["connected_components_docs"](spark, SF))
+    sections.append(("connected_components_docs (iteration lineage cut)", p, [
+        ("result reads the round checkpoint", "ExistingRDD" in p),
+        ("post-loop plan is flat",
+         len(re.findall(r"\(\d+\) Exchange", p)) == 0),
+        ("plan size bounded", len(p) < 4000),
+    ]))
+
     # pagerank: after N iterations the returned frame's lineage must be a
     # checkpoint scan, not N stacked join+agg rounds (loop-plan-explosion
     # discipline — an uncheckpointed loop doubles the plan per round)
