@@ -1667,6 +1667,28 @@ def connected_components_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, iters=6)
 
 
+def harmonic_centrality_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall harmonic centrality (hyped_spark/operators/graphs.py:
+    hyperball_harmonic) — Common Crawl's host-ranking algorithm — over the
+    same synthesized host graph pagerank uses: reachability balls grow as
+    HLL counters (exact integer register maxima), so the md5 mode makes an
+    APPROXIMATE centrality bit-replayable in SQL end-to-end."""
+    from hyped_spark.operators.graphs import hyperball_harmonic
+
+    d = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    edges = d.select(
+        F.concat(F.lit("h"), (did % 29).cast("string"), F.lit(".net"))
+        .alias("src"),
+        F.when(did % 11 == 0, F.lit("sink.net"))
+        .otherwise(
+            F.concat(F.lit("h"), ((did * 3 + 1) % 29).cast("string"),
+                     F.lit(".net"))
+        ).alias("dst"),
+    )
+    return hyperball_harmonic(edges, radius=3, p=4, hash_mode="md5")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1758,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlinks_docs": outlinks_docs,
         "robots_filter_docs": robots_filter_docs,
         "connected_components_docs": connected_components_docs,
+        "harmonic_centrality_hosts": harmonic_centrality_hosts,
     }
 
 
@@ -2159,6 +2182,7 @@ def oracle_sql() -> dict[str, str]:
         "outlinks_docs": _outlinks_oracle(),
         "robots_filter_docs": _robots_filter_oracle(),
         "connected_components_docs": _connected_components_oracle(),
+        "harmonic_centrality_hosts": _harmonic_oracle(),
         "ann_topk_sq8": _ann_sq8_oracle(dim=64, k=5),
         "ann_topk_ivf_sq": _ann_ivf_sq_oracle(dim=64, n_lists=8, n_probe=2, k=5),
         # fixed spans (1,3)/(5,8), no truncation: marker insertion is pure
@@ -3510,6 +3534,18 @@ def _pagerank_oracle() -> str:
         "FROM documents"
     )
     return pagerank_sql(edges, iters=5)
+
+
+def _harmonic_oracle() -> str:
+    from hyped_spark.operators.graphs import hyperball_harmonic_sql
+
+    edges = (
+        "SELECT 'h' || (doc_id % 29) || '.net' AS src, "
+        "CASE WHEN doc_id % 11 = 0 THEN 'sink.net' "
+        "ELSE 'h' || ((doc_id * 3 + 1) % 29) || '.net' END AS dst "
+        "FROM documents"
+    )
+    return hyperball_harmonic_sql(edges, radius=3, p=4)
 
 
 def _connected_components_oracle() -> str:

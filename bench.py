@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "robots_filter_docs",
     # standalone min-label connected components (6 exact integer rounds)
     "connected_components_docs",
+    # HyperBall harmonic centrality (HLL balls, 3 hops)
+    "harmonic_centrality_hosts",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

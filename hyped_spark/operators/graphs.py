@@ -239,3 +239,146 @@ def connected_components_sql(
         "WITH " + ",\n".join(parts)
         + f"\nSELECT n AS node, l AS component FROM l{iters}"
     )
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    radius: int = 3,
+    p: int = 4,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Harmonic centrality via HyperBall (Boldi & Vigna 2013) — the
+    algorithm Common Crawl uses for its host-level harmonic rankings.
+    Exact harmonic centrality needs all-pairs shortest paths; HyperBall
+    replaces each node's reachability ball with an HLL counter
+    (operators/sketches.py) and grows balls one hop per round:
+    ``counter(v) ∪= counter(u)`` for every in-edge ``u→v``. Then
+    ``harmonic(v) = Σ_r (|ball_r(v)| - |ball_{r-1}(v)|) / r`` up to
+    ``radius`` hops.
+
+    Per-node state is ≤ ``2^p`` integer registers, the per-round work is
+    one edge join + one max-aggregation (the pagerank/CC shape, same
+    localCheckpoint discipline), and register maxima are EXACT integers —
+    so with ``hash_mode="md5"`` every ball estimate, and therefore the
+    centrality itself, replays bit-for-bit in SQL despite being an
+    approximation.
+    """
+    from hyped_spark.operators.dedup import _release_local_checkpoint
+    from hyped_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select("__d"))
+        .distinct()
+    )
+    c = hll_registers(
+        nodes, "node", p, ("node",), hash_mode
+    ).localCheckpoint(eager=True)
+    balls = [hll_estimate(c, p, ("node",)).localCheckpoint(eager=True)]
+    for _ in range(radius):
+        nbr = e.join(c, c["node"] == e["__s"]).select(
+            F.col("__d").alias("node"), "bucket", "rho"
+        )
+        c2 = hll_merge(c, nbr).localCheckpoint(eager=True)
+        balls.append(hll_estimate(c2, p, ("node",)).localCheckpoint(eager=True))
+        _release_local_checkpoint(c)
+        c = c2
+
+    out = balls[0].withColumnRenamed("est_distinct", "__b0")
+    for r_i in range(1, radius + 1):
+        out = out.join(
+            balls[r_i].withColumnRenamed("est_distinct", f"__b{r_i}"),
+            "node",
+        )
+    expr = None
+    for r_i in range(1, radius + 1):
+        term = (
+            (F.col(f"__b{r_i}") - F.col(f"__b{r_i - 1}")).cast("double")
+            / F.lit(float(r_i))
+        )
+        expr = term if expr is None else expr + term
+    return out.select("node", F.round(expr, 6).alias("harmonic"))
+
+
+def hyperball_harmonic_sql(
+    edges_cte: str,
+    src_expr: str = "src",
+    dst_expr: str = "dst",
+    radius: int = 3,
+    p: int = 4,
+) -> str:
+    """DuckDB twin of :func:`hyperball_harmonic` (md5 mode): replays the
+    singleton registers, every per-round max-merge, every ball estimate
+    (exact-integer harmonic sums, one division — the
+    hll_count_distinct_sql contract), and the left-folded difference
+    quotients."""
+    from hyped_spark.functions.hashing import h64_sql
+    from hyped_spark.operators.sketches import _MASK60, _alpha
+
+    m = 1 << p
+    b = 60 - p
+    c_num = _alpha(m) * m * m * float(1 << (b + 1))
+    h = f"({h64_sql('CAST(node AS VARCHAR)')} & {_MASK60})"
+
+    def est(cte: str, alias: str) -> str:
+        return f"""{alias} AS (
+            SELECT node,
+                CAST(round(CASE WHEN {c_num!r} / (occ_sum + ({m} - occ)
+                        * (1::BIGINT << {b + 1}))::DOUBLE <= 2.5 * {m}
+                        AND ({m} - occ) > 0
+                   THEN {float(m)!r} * ln({float(m)!r} / ({m} - occ)::DOUBLE)
+                   ELSE {c_num!r} / (occ_sum + ({m} - occ)
+                        * (1::BIGINT << {b + 1}))::DOUBLE
+                END) AS BIGINT) AS est
+            FROM (
+                SELECT node,
+                       coalesce(sum((1::BIGINT << ({b + 1} - rho)))::BIGINT,
+                                0) AS occ_sum,
+                       count(*) AS occ
+                FROM {cte} GROUP BY node
+            ))"""
+
+    parts = [
+        f"eg AS (SELECT {src_expr} AS s, {dst_expr} AS d "
+        f"FROM ({edges_cte}))",
+        "vx AS (SELECT DISTINCT node FROM "
+        "(SELECT s AS node FROM eg UNION ALL SELECT d FROM eg))",
+        f"""c0 AS (
+            SELECT node, {h} % {m} AS bucket,
+                   CASE WHEN {h} // {m} = 0 THEN {b + 1}
+                        ELSE bit_count(CAST((({h} // {m})
+                             & -({h} // {m})) - 1 AS BIGINT)) + 1
+                   END AS rho
+            FROM vx)""",
+        est("c0", "b0"),
+    ]
+    for t in range(radius):
+        parts.append(
+            f"""c{t + 1} AS (
+            SELECT node, bucket, max(rho) AS rho FROM (
+                SELECT * FROM c{t}
+                UNION ALL
+                SELECT eg.d AS node, c.bucket, c.rho
+                FROM eg JOIN c{t} c ON c.node = eg.s
+            ) GROUP BY node, bucket)"""
+        )
+        parts.append(est(f"c{t + 1}", f"b{t + 1}"))
+    terms = "(b1.est - b0.est) / 1.0"
+    for r_i in range(2, radius + 1):
+        terms = f"({terms} + (b{r_i}.est - b{r_i - 1}.est) / {float(r_i)!r})"
+    joins = " ".join(
+        f"JOIN b{r_i} USING (node)" for r_i in range(1, radius + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, round({terms}, 6) AS harmonic FROM b0 {joins}"
+    )

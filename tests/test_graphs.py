@@ -138,3 +138,52 @@ def test_connected_components_chain_exact(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_hyperball_harmonic_exact_on_small_graph(spark):
+    """At p=12 (4096 registers) on a tiny graph, HLL balls are exact with
+    overwhelming probability, so HyperBall must reproduce true harmonic
+    centrality (computed by BFS) exactly."""
+    import collections
+
+    from hyped_spark.operators.graphs import hyperball_harmonic
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("e", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.harmonic
+           for r in hyperball_harmonic(df, radius=4, p=12).collect()}
+
+    # reference: BFS over REVERSED edges gives dist(u -> v) for each v
+    fwd = collections.defaultdict(set)
+    for s, d in edges:
+        fwd[s].add(d)
+    nodes = sorted({x for e in edges for x in e})
+    ref = {}
+    for v in nodes:
+        dist = {v: 0}
+        frontier = [v]
+        while frontier:
+            nxt = []
+            for u in nodes:
+                for w in fwd[u]:
+                    if w in dist and u not in dist:
+                        dist[u] = dist[w] + 1
+                        nxt.append(u)
+            if not nxt:
+                break
+            frontier = nxt
+        ref[v] = round(sum(1.0 / d for u, d in dist.items() if d > 0), 6)
+    for v in nodes:
+        assert got[v] == ref[v], (v, got[v], ref[v])
+
+
+def test_hyperball_deterministic(spark):
+    from hyped_spark.operators.graphs import hyperball_harmonic
+
+    edges = [(f"n{i}", f"n{(i * 7 + 2) % 13}") for i in range(30)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = sorted(map(tuple, hyperball_harmonic(df, radius=3, p=4).collect()))
+    b = sorted(map(tuple,
+                   hyperball_harmonic(df.repartition(9), radius=3,
+                                      p=4).collect()))
+    assert a == b
