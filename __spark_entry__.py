@@ -1691,6 +1691,46 @@ def harmonic_centrality_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "sessionize_events": sessionize_events,
+        "c4_clean_docs": c4_clean_docs,
+        "bm25_search_docs": bm25_search_docs,
+        "bm25_indexed_docs": bm25_indexed_docs,
+        "lm_perplexity_docs": lm_perplexity_docs,
+        "image_features_docs": image_features_docs,
+        "pivot_order_status": pivot_order_status,
+        "source_mixture_docs": source_mixture_docs,
+        "quality_scores": quality_scores,
+        "asof_join_events": asof_join_events,
+        "asof_forward_events": asof_forward_events,
+        "range_join_parts": range_join_parts,
+        "relex_mark_docs": relex_mark_docs,
+        "repair_json_docs": repair_json_docs,
+        "render_template_docs": render_template_docs,
+        "token_spans_docs": token_spans_docs,
+        "image_decode_real_docs": image_decode_real_docs,
+        "normalize_text_docs": normalize_text_docs,
+        "stats_report_lineitem": stats_report_lineitem,
+        "canonical_url_orders": canonical_url_orders,
+        "audio_features_docs": audio_features_docs,
+        "zorder_key_lineitem": zorder_key_lineitem,
+        "hot_event_types": hot_event_types,
+        "weighted_sample_docs": weighted_sample_docs,
+        "hll_distinct_users": hll_distinct_users,
+        "cms_event_counts": cms_event_counts,
+        "line_dedup_docs": line_dedup_docs,
+        "decontaminate_bloom_docs": decontaminate_bloom_docs,
+        "blocklist_filter_docs": blocklist_filter_docs,
+        "cap_domain_docs": cap_domain_docs,
+        "quality_classifier_docs": quality_classifier_docs,
+        "pagerank_hosts": pagerank_hosts,
+        "warc_roundtrip_docs": warc_roundtrip_docs,
+        "ann_topk_pq": ann_topk_pq,
+        "ann_topk_ivf_pq": ann_topk_ivf_pq,
+        "extract_blocks_docs": extract_blocks_docs,
+        "outlinks_docs": outlinks_docs,
+        "robots_filter_docs": robots_filter_docs,
+        "connected_components_docs": connected_components_docs,
+        "harmonic_centrality_hosts": harmonic_centrality_hosts,
         "q1_pricing_summary": q1_pricing_summary,
         "top_orders_per_cust": top_orders_per_cust,
         "revenue_per_nation": revenue_per_nation,
@@ -1741,46 +1781,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": stratified_sample_docs,
         "price_percentiles": price_percentiles,
         "vocab_top_tokens": vocab_top_tokens,
-        "sessionize_events": sessionize_events,
-        "c4_clean_docs": c4_clean_docs,
-        "bm25_search_docs": bm25_search_docs,
-        "bm25_indexed_docs": bm25_indexed_docs,
-        "lm_perplexity_docs": lm_perplexity_docs,
-        "image_features_docs": image_features_docs,
-        "pivot_order_status": pivot_order_status,
-        "source_mixture_docs": source_mixture_docs,
-        "quality_scores": quality_scores,
-        "asof_join_events": asof_join_events,
-        "asof_forward_events": asof_forward_events,
-        "range_join_parts": range_join_parts,
-        "relex_mark_docs": relex_mark_docs,
-        "repair_json_docs": repair_json_docs,
-        "render_template_docs": render_template_docs,
-        "token_spans_docs": token_spans_docs,
-        "image_decode_real_docs": image_decode_real_docs,
-        "normalize_text_docs": normalize_text_docs,
-        "stats_report_lineitem": stats_report_lineitem,
-        "canonical_url_orders": canonical_url_orders,
-        "audio_features_docs": audio_features_docs,
-        "zorder_key_lineitem": zorder_key_lineitem,
-        "hot_event_types": hot_event_types,
-        "weighted_sample_docs": weighted_sample_docs,
-        "hll_distinct_users": hll_distinct_users,
-        "cms_event_counts": cms_event_counts,
-        "line_dedup_docs": line_dedup_docs,
-        "decontaminate_bloom_docs": decontaminate_bloom_docs,
-        "blocklist_filter_docs": blocklist_filter_docs,
-        "cap_domain_docs": cap_domain_docs,
-        "quality_classifier_docs": quality_classifier_docs,
-        "pagerank_hosts": pagerank_hosts,
-        "warc_roundtrip_docs": warc_roundtrip_docs,
-        "ann_topk_pq": ann_topk_pq,
-        "ann_topk_ivf_pq": ann_topk_ivf_pq,
-        "extract_blocks_docs": extract_blocks_docs,
-        "outlinks_docs": outlinks_docs,
-        "robots_filter_docs": robots_filter_docs,
-        "connected_components_docs": connected_components_docs,
-        "harmonic_centrality_hosts": harmonic_centrality_hosts,
     }
 
 

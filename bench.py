@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -149,17 +150,26 @@ def main() -> None:
         spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")) \
             .selectExpr(expr).collect()
 
-    # single-shot per query, same protocol every round (a best-of-N would
-    # flatter repeat runs via page-cache and codegen reuse and break
-    # round-over-round comparability)
+    # median-of-N per query (round-5 verdict task #3: single shots swung
+    # 1.5-2x with co-tenant host load, making the round-over-round signal
+    # unreadable; the median is robust to one noisy rep without the
+    # systematic flattery of a best-of). Each rep re-CONSTRUCTS the frame
+    # so eagerly-executing operators (pagerank's checkpointed iterations,
+    # index builds) pay their real work inside every timed rep.
+    reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
+
+    def _timed_median(build) -> float:
+        samples = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            df = build()
+            df.write.mode("overwrite").format("noop").save()
+            samples.append(time.monotonic() - t0)
+        return round(statistics.median(samples), 3)
+
     for name in BENCH_QUERIES:
-        # timer starts BEFORE construction: eagerly-executing operators
-        # (pagerank's checkpointed iterations, index builds) do their real
-        # work while the frame is being built, not in the final action
-        t0 = time.monotonic()
-        df = queries[name](spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        timings[name] = _timed_median(
+            lambda name=name: queries[name](spark, SF_DIR))
 
     # scale-path twins of the md5-portable sketch queries: the operators'
     # xxhash64 defaults, timed directly (candidate sets depend on hash
@@ -197,21 +207,22 @@ def main() -> None:
             F.col("text"),
         ).alias("text"),
     )
-    cms = cms_sketch(ev, "event_type", width=1024, depth=4)
-    for name, df in [
-        ("bm25_search_pruned", bm25_topk(docs, "dup", k=20, prune=True)),
-        ("minhash_pairs_scale", minhash_lsh_pairs(docs, min_jaccard=0.5)),
-        ("simhash_pairs_scale", simhash_pairs(docs)),
+    for name, build in [
+        ("bm25_search_pruned",
+         lambda: bm25_topk(docs, "dup", k=20, prune=True)),
+        ("minhash_pairs_scale",
+         lambda: minhash_lsh_pairs(docs, min_jaccard=0.5)),
+        ("simhash_pairs_scale", lambda: simhash_pairs(docs)),
         ("hll_distinct_scale",
-         hll_count_distinct(ev, "user_id", p=12, group_cols=("event_type",))),
+         lambda: hll_count_distinct(ev, "user_id", p=12,
+                                    group_cols=("event_type",))),
         ("cms_counts_scale",
-         cms_estimate(cms, ev.select("event_type").distinct(),
-                      "event_type", 1024, 4)),
-        ("line_dedup_scale", line_dedup(lined)),
+         lambda: cms_estimate(
+             cms_sketch(ev, "event_type", width=1024, depth=4),
+             ev.select("event_type").distinct(), "event_type", 1024, 4)),
+        ("line_dedup_scale", lambda: line_dedup(lined)),
     ]:
-        t0 = time.monotonic()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        timings[name] = _timed_median(build)
 
     # -- CDC merge-apply throughput (the north-rule headline) --
     from hyped_spark.plans.replay import ReplayConfig, ReplayEngine
@@ -250,6 +261,10 @@ def main() -> None:
                 n_salt=8,
             ),
         )
+        # cdc_replay stays single-shot BY DESIGN: replay is stateful —
+        # a second pass over the same table path hits the batch-id skip
+        # guard and would measure nothing (the warm-up table above pays
+        # the one-time init instead)
         t0 = time.monotonic()
         stats = engine.replay(log)
         cdc_sec = time.monotonic() - t0
@@ -265,6 +280,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "per_query_protocol": f"median_of_{reps}",
         "sf": sf,
         "cdc_events_per_sec": events_per_sec,
         "cdc_events": applied,

@@ -75,6 +75,12 @@ def parse_image_header(blob: bytes) -> tuple[str, int, int, int] | None:
         while i + 9 <= n:
             if blob[i] != 0xFF:
                 break
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+            # marker; treating a fill byte as the marker desyncs the scan.
+            while i + 9 <= n and blob[i + 1] == 0xFF:
+                i += 1
+            if i + 9 > n:
+                break
             marker = blob[i + 1]
             if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2 (baseline/ext/progressive)
                 h, w = struct.unpack(">HH", blob[i + 5:i + 9])

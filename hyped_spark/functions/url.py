@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 
 _HEAD = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
 _TRACK = r"(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+# Mid-query strip must anchor the param NAME to a separator, else it eats
+# substrings of other params (``?pref=1&x=2`` -> ``?px=2``).  The separator is
+# captured and restored; the inner ``(...&)+`` consumes RUNS of consecutive
+# tracking params in one match, which capture-and-restore alone would miss.
+_TRACK_RUN = r"([?&])((utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&)+"
 
 
 def canonical_url_col(url: Column) -> Column:
@@ -38,7 +43,7 @@ def canonical_url_col(url: Column) -> Column:
     u = F.regexp_replace(u, r"^(http://[^/:?#]*):80([/?#]|$)", r"$1$2")
     u = F.regexp_replace(u, r"^(https://[^/:?#]*):443([/?#]|$)", r"$1$2")
     u = F.regexp_replace(u, r"#.*$", "")
-    u = F.regexp_replace(u, _TRACK + r"&", "")
+    u = F.regexp_replace(u, _TRACK_RUN, r"$1")
     u = F.regexp_replace(u, r"[?&]" + _TRACK + r"$", "")
     u = F.regexp_replace(u, r"\?&", "?")
     u = F.regexp_replace(u, r"\?$", "")
@@ -57,7 +62,7 @@ def canonical_url_sql(expr: str) -> str:
     e = f"regexp_replace({e}, '^(http://[^/:?#]*):80([/?#]|$)', '\\1\\2')"
     e = f"regexp_replace({e}, '^(https://[^/:?#]*):443([/?#]|$)', '\\1\\2')"
     e = f"regexp_replace({e}, '#.*$', '')"
-    e = f"regexp_replace({e}, '{_TRACK}&', '', 'g')"
+    e = f"regexp_replace({e}, '{_TRACK_RUN}', '\\1', 'g')"
     e = f"regexp_replace({e}, '[?&]{_TRACK}$', '')"
     e = f"regexp_replace({e}, '\\?&', '?')"
     e = f"regexp_replace({e}, '\\?$', '')"

@@ -274,9 +274,12 @@ def frequent_items(df: DataFrame, col: str, support: float,
         raise ValueError(f"support must be in (0, 1], got {support}")
     counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
     total = df.agg(F.count(F.lit(1)).alias("__total"))
+    # Compare the ratio directly rather than against ceil(total*support):
+    # the ceil of an inexact double product excludes values sitting exactly
+    # at the support fraction (1000*0.1 -> 100.00000000000001, ceil 101).
     return (
         counts.join(F.broadcast(total))
-        .filter(F.col("cnt") >= F.ceil(F.col("__total") * support))
+        .filter(F.col("cnt") / F.col("__total") >= F.lit(support))
         .select(
             col,
             F.col("cnt"),
@@ -294,7 +297,8 @@ def frequent_items_sql(table: str, col: str, support: float,
                      / (SELECT count(*) FROM {table}), {round_dp}) AS frac
         FROM {table}
         GROUP BY {col}
-        HAVING count(*) >= ceil((SELECT count(*) FROM {table}) * {support!r})
+        HAVING CAST(count(*) AS DOUBLE)
+               / (SELECT count(*) FROM {table}) >= {support!r}
     """
 
 
@@ -404,16 +408,20 @@ def cap_per_domain(
     n_labels: int = 2,
     hash_mode: str = "xxhash64",
     domain_out: str | None = None,
+    descending: bool = False,
 ) -> DataFrame:
     """Per-domain quota cap: keep at most ``k`` rows per registrable domain
     (last ``n_labels`` host labels) — the crawl-curation guard that stops a
     single site from dominating a training mix.
 
-    Selection is deterministic: rows rank by ``order_col`` if given (e.g. a
-    quality score), else by a hash of the URL (``hash_mode="md5"`` makes the
-    ranking portable / SQL-replayable; default ``xxhash64`` is the cheap
-    scale path) — a stable uniform subsample rather than an
-    order-of-appearance artifact. Ties break on the URL string.
+    Selection is deterministic: rows rank by ``order_col`` if given, else by
+    a hash of the URL (``hash_mode="md5"`` makes the ranking portable /
+    SQL-replayable; default ``xxhash64`` is the cheap scale path) — a stable
+    uniform subsample rather than an order-of-appearance artifact. Ties
+    break on the URL string. The rank is ASCENDING by default (keeps the
+    ``k`` SMALLEST ``order_col`` values); pass ``descending=True`` for
+    higher-is-better scores such as quality — otherwise each domain keeps
+    its worst documents.
 
     Scale shape: ONE hash exchange on the domain key; the rank-≤-k filter
     sits directly on ``row_number`` so Spark inserts WindowGroupLimit and
@@ -426,7 +434,8 @@ def cap_per_domain(
     out = df.withColumn("__dom", dom)
     ordc = (F.col(order_col) if order_col
             else h64_col(F.col(url_col), hash_mode))
-    w = Window.partitionBy("__dom").orderBy(ordc.asc(), F.col(url_col).asc())
+    ordc = ordc.desc() if descending else ordc.asc()
+    w = Window.partitionBy("__dom").orderBy(ordc, F.col(url_col).asc())
     out = (
         out.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
@@ -444,6 +453,7 @@ def cap_per_domain_sql(
     order_expr: str | None = None,
     n_labels: int = 2,
     domain_out: str | None = None,
+    descending: bool = False,
 ) -> str:
     """DuckDB twin of :func:`cap_per_domain` (portable md5 ranking)."""
     from hyped_spark.functions.hashing import h64_sql
@@ -451,13 +461,15 @@ def cap_per_domain_sql(
 
     dom = registrable_domain_sql(f"({host_sql(url_expr)})", n_labels)
     ordc = order_expr or h64_sql(url_expr)
+    direction = "DESC" if descending else "ASC"
     dom_alias = domain_out or "__dom"
     drop = "(__rn)" if domain_out else "(__dom, __rn)"
     return f"""
         SELECT * EXCLUDE {drop} FROM (
             SELECT t.*, {dom} AS {dom_alias},
                    row_number() OVER (PARTITION BY {dom}
-                                      ORDER BY {ordc} ASC, {url_expr} ASC)
+                                      ORDER BY {ordc} {direction},
+                                               {url_expr} ASC)
                        AS __rn
             FROM {table} t
         ) WHERE __rn <= {k}

@@ -185,6 +185,7 @@ def connected_components(
         .localCheckpoint(eager=True)
 
     rounds = iters if iters is not None else max_iters
+    changed = None
     for r in range(rounds):
         nbr = (
             und.join(lab, und["__s"] == lab["__n"])
@@ -205,6 +206,19 @@ def connected_components(
                 break
         _release_local_checkpoint(lab)
         lab = new
+    if iters is None and changed is not None and changed > 0:
+        # Same discipline as dedup.connected_components: a silent exit at
+        # max_iters returns split components (a path graph of diameter
+        # > max_iters) with no signal otherwise.
+        import warnings
+
+        warnings.warn(
+            f"connected_components stopped at max_iters={max_iters} with "
+            f"{changed} labels still changing — components may be split; "
+            "raise max_iters (rounds needed = graph diameter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return lab.select(F.col("__n").alias("node"),
                       F.col("__l").alias("component"))
 

@@ -93,10 +93,22 @@ def robots_filter(
     url_col: str = "url",
     mode: str = "flag",
     flag_col: str = "allowed",
+    broadcast_rules: bool = False,
 ) -> DataFrame:
     """Apply parsed robots rules to pages: longest matching prefix decides,
     Allow wins length ties, no match ⇒ allowed. ``mode="drop"`` keeps only
-    allowed pages; ``mode="flag"`` adds a boolean."""
+    allowed pages; ``mode="flag"`` adds a boolean.
+
+    Join shape: the rules side of a full crawl snapshot spans EVERY host —
+    tens of millions of (host, prefix, allow) rows at 100 TB, past any sane
+    broadcast ceiling — so by default the join carries NO broadcast hint:
+    AQE broadcasts a provably-small rules frame at runtime and falls back
+    to a shuffle join on ``host`` (exactly the key the verdict window
+    already partitions by, so the exchange is reused) otherwise. Pass
+    ``broadcast_rules=True`` only when the caller KNOWS the rules frame is
+    small (a single-site allowlist, a test fixture) — same opt-in contract
+    as ``filter_blocklisted_urls(broadcast_hits=...)``.
+    """
     from hyped_spark.functions.url import host_col
 
     p = pages.select(
@@ -104,7 +116,8 @@ def robots_filter(
         host_col(F.col(url_col)).alias("host"),
         url_path_col(F.col(url_col)).alias("__path"),
     )
-    cand = p.join(F.broadcast(rules), "host", "left").filter(
+    r = F.broadcast(rules) if broadcast_rules else rules
+    cand = p.join(r, "host", "left").filter(
         F.col("prefix").isNull()
         | F.col("__path").startswith(F.col("prefix"))
     )

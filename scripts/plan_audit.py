@@ -512,10 +512,17 @@ def main() -> None:
         ("plan size bounded", len(p) < 4000),
     ]))
 
-    # robots verdicts: rules broadcast to the page side; no cartesian
+    # robots verdicts: the rules join carries NO forced broadcast hint
+    # (round-5 flag: crawl-scale rules span every host); at this SF the
+    # cost model still picks broadcast from size estimates, and past the
+    # threshold it degrades to a shuffle join on host —
+    # test_robots.py::test_robots_filter_join_shapes proves both shapes.
     p = plan_of(q["robots_filter_docs"](spark, SF))
-    sections.append(("robots_filter_docs (broadcast rules, window verdict)", p, [
-        ("rules broadcast to pages", "BroadcastHashJoin" in p),
+    sections.append(("robots_filter_docs (size-guarded rules join, window verdict)", p, [
+        ("rules join on host (cost-chosen broadcast at this SF, shuffle "
+         "above threshold — no forced hint)",
+         "BroadcastHashJoin" in p or "SortMergeJoin" in p
+         or "ShuffledHashJoin" in p),
         ("no cartesian", "CartesianProduct" not in p),
         ("longest-match rank limited (WindowGroupLimit)",
          "WindowGroupLimit" in p),

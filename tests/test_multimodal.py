@@ -84,6 +84,20 @@ def test_jpeg_gif_bmp_headers():
     assert parse_image_header(b"not an image at all") is None
 
 
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker;
+    real-crawl JPEGs use them.  The scan must skip them, not read a fill
+    byte as marker 0xFF with a garbage segment length (round-5 advice)."""
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    sof = (b"\xff" * 4 + b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 480, 640, 3)
+           + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01")
+    assert parse_image_header(b"\xff\xd8" + b"\xff" * 3 + app0[1:] + sof) \
+        == ("jpeg", 640, 480, 3)
+    # fill bytes directly before SOF, APP0 unpadded
+    assert parse_image_header(b"\xff\xd8" + app0 + sof) == ("jpeg", 640, 480, 3)
+
+
 def test_jpeg_pixels_need_codec():
     """Header-real formats without a stdlib pixel path fail LOUDLY on the
     feature route (no silently fabricated luma/phash)."""

@@ -127,6 +127,16 @@ def test_canonical_url_col(spark):
         (8, "http://host.net", "http://host.net"),
         (9, "ftp://Weird.Host/A", "ftp://weird.host/A"),
         (10, "https://h.io/x?a=1&fbclid=zz&b=2", "https://h.io/x?a=1&b=2"),
+        # param names that merely CONTAIN a tracking name must survive
+        # (round-5 advice: the unanchored pattern turned ?pref=1&x=2
+        # into ?px=2 — silent corruption of the CDC merge key)
+        (11, "http://x.com/?pref=1&x=2", "http://x.com/?pref=1&x=2"),
+        (12, "http://x.com/?href=a&x=2", "http://x.com/?href=a&x=2"),
+        (13, "http://x.com/?xref=a", "http://x.com/?xref=a"),
+        (14, "http://x.com/?pref=1&utm_a=2&x=3", "http://x.com/?pref=1&x=3"),
+        # runs of consecutive tracking params collapse in one pass
+        (15, "http://x.com/?utm_a=1&utm_b=2&gclid=g&x=3", "http://x.com/?x=3"),
+        (16, "http://x.com/?a=1&utm_a=1&utm_b=2", "http://x.com/?a=1"),
     ]
     df = spark.createDataFrame([(i, u) for i, u, _ in cases],
                                "id long, url string")
@@ -138,3 +148,18 @@ def test_canonical_url_col(spark):
     plan = df.select(canonical_url_col(F.col("url"))) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan  # fully native
+
+    # DuckDB twin must agree byte-for-byte on every fixture — the oracle
+    # can only catch canonicalization bugs if the twins can diverge here.
+    import duckdb
+
+    from hyped_spark.functions.url import canonical_url_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, u VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, u) for i, u, _ in cases])
+    twin = dict(con.execute(
+        "SELECT id, " + canonical_url_sql("u") + " FROM t").fetchall())
+    for i, _, want in cases:
+        assert twin[i] == want, (i, twin[i], want)

@@ -173,3 +173,62 @@ def test_line_dedup_payload_single_pass(spark):
     assert "CartesianProduct" not in p and "Python" not in p
     args = re.findall(r"\(\d+\) Exchange\n(.*?)\n\n", p, re.S)
     assert sum("text" in a for a in args) <= 1
+
+
+def test_collect_sites_are_metadata_sized():
+    """Executable form of the per-round driver-collect audit (round-5
+    verdict task #8): every .collect() in non-test source must sit on the
+    documented metadata-sized allowlist. A new operator that collects
+    payload fails here before it ships."""
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "hyped_spark")
+    # (file suffix, substring of the collecting statement's context,
+    #  why it is metadata-sized)
+    allow = [
+        ("plans/replay.py", "agg(F.min(ordc), F.max(ordc))",
+         "LSN bounds: 1 row"),
+        ("plans/replay.py", 'groupBy("__k", "__bucket")',
+         "per-(batch,bucket) meta: <=n_batches*n_buckets rows"),
+        ("plans/spec.py", "wdf.orderBy(wdf.columns[0])",
+         "mixture weights: 1 row per source"),
+        ("streaming/metrics.py", "batch_summary(metrics)",
+         "per-micro-batch summary rows"),
+        ("lake/iceberg_backend.py", "SHOW TBLPROPERTIES",
+         "table properties: O(10) rows"),
+        ("lake/iceberg_backend.py", 'alias("hi")',
+         "batch ord-bound + count: 1 row"),
+        ("lake/table.py", "bucket_expr", "touched-bucket ids: <=n_buckets"),
+        ("lake/table.py", 'groupBy("__bucket")',
+         "per-bucket batch meta: <=n_buckets rows"),
+        ("operators/search.py", 'groupBy("term")',
+         "per-query-term doc frequencies: O(query terms)"),
+        ("operators/curation.py", 'agg(F.sum("__w"))',
+         "grand total: 1 row"),
+        ("operators/curation.py", 'groupBy("__pid")',
+         "per-partition prefix offsets: O(partitions)"),
+        ("operators/similarity.py", "train_cap",
+         "hash-ranked training sample: bounded by train_cap"),
+        ("operators/similarity.py", "F.min(", "per-dim min/max: 1 row"),
+    ]
+    unexplained = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, root).replace(os.sep, "/")
+            lines = open(path).read().split("\n")
+            for i, line in enumerate(lines):
+                if ".collect()" not in line:
+                    continue
+                # context = the statement around the call (collect often
+                # terminates a multi-line chain)
+                ctx = "\n".join(lines[max(0, i - 12):i + 1])
+                if not any(rel.endswith(f) and s in ctx
+                           for f, s, _ in allow):
+                    unexplained.append(f"{rel}:{i + 1}: {line.strip()}")
+    assert not unexplained, (
+        "collect() sites not on the metadata-sized allowlist "
+        "(add a justification or make the operator distributed):\n"
+        + "\n".join(unexplained))

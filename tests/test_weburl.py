@@ -113,13 +113,13 @@ def test_cap_per_domain_bounds_and_determinism(spark):
     assert cap_per_domain(df, k=1000).count() == 60
 
 
-def test_cap_per_domain_order_col_keeps_best(spark):
+def test_cap_per_domain_order_col_ascending_keeps_lowest(spark):
     df = _capped_corpus(spark)
     out = cap_per_domain(df, k=2, order_col="score", domain_out="domain")
     kept = {}
     for r in out.collect():
         kept.setdefault(r.domain, []).append(r.score)
-    # order_col ranks ascending: the cap keeps each domain's 2 LOWEST scores
+    # default ranks ascending: the cap keeps each domain's 2 LOWEST scores
     full = {}
     for r in df.withColumn(
         "d", registrable_domain_col(host_col(F.col("url")))
@@ -127,6 +127,25 @@ def test_cap_per_domain_order_col_keeps_best(spark):
         full.setdefault(r.d, []).append(r.score)
     for dom, scores in kept.items():
         assert sorted(scores) == sorted(full[dom])[:2]
+
+
+def test_cap_per_domain_descending_keeps_best(spark):
+    # higher-is-better scores (quality) need descending=True, else each
+    # domain keeps its WORST documents (round-5 advice)
+    df = _capped_corpus(spark)
+    out = cap_per_domain(df, k=2, order_col="score", domain_out="domain",
+                         descending=True)
+    kept = {}
+    for r in out.collect():
+        kept.setdefault(r.domain, []).append(r.score)
+    full = {}
+    for r in df.withColumn(
+        "d", registrable_domain_col(host_col(F.col("url")))
+    ).collect():
+        full.setdefault(r.d, []).append(r.score)
+    for dom, scores in kept.items():
+        assert sorted(scores, reverse=True) == \
+            sorted(full[dom], reverse=True)[:2]
 
 
 def test_spec_stages_run(spark, tmp_path):
