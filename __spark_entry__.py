@@ -1265,6 +1265,64 @@ def audio_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def video_frames_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction under oracle: per-doc AVI blobs (public
+    RIFF/AVI container spec, stdlib encoder) carry solid-gray PNG frames
+    ("motion PNG"), then the default fake=False path parses the container
+    (chunk scan — no ffmpeg), samples 3 frames on the even integer grid
+    ((j·n)//k), and fully decodes each sampled PNG to pixels. Every output
+    is derivable from doc_id alone, so the oracle needs no codec: the
+    container params are the generating params and the sampled-frame gray
+    sum replays as a closed-form list comprehension
+    (hyped_spark/functions/multimodal.py: encode_avi/parse_avi/
+    sample_video_frames; reference has no video surface — this closes the
+    multimodal brief beyond it)."""
+    from hyped_spark.functions.multimodal import (
+        decode_png_pixels, decode_video_meta, encode_avi, encode_png,
+        sample_video_frames)
+
+    @F.pandas_udf("binary")
+    def make_avi(ids: pd.Series) -> pd.Series:  # pragma: no cover (executor)
+        out = []
+        for i in ids:
+            i = int(i)
+            n = 6 + i % 5
+            w = 8 + (i % 4) * 2
+            h = 8 + (i % 3) * 2
+            fps = 5 + i % 10
+            frames = [
+                encode_png(np.full((h, w, 1), (i * 7 + k * 31) % 256,
+                                   dtype=np.uint8))
+                for k in range(n)
+            ]
+            out.append(encode_avi(frames, w, h, fps=fps))
+        return pd.Series(out)
+
+    @F.pandas_udf("array<bigint>")
+    def frame_grays(frames_col: pd.Series) -> pd.Series:  # pragma: no cover (executor)
+        return pd.Series([
+            [int(decode_png_pixels(bytes(f))[0, 0, 0]) for f in frames]
+            for frames in frames_col
+        ])
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    vids = d.select("doc_id", make_avi("doc_id").alias("video"))
+    meta = decode_video_meta(vids, "video", "v")
+    sampled = sample_video_frames(meta, "video", "frames", n_frames=3,
+                                  fake=False)
+    return sampled.select(
+        "doc_id",
+        F.col("v.width").cast("bigint").alias("width"),
+        F.col("v.height").cast("bigint").alias("height"),
+        F.col("v.n_frames").alias("total_frames"),
+        F.col("v.usec_per_frame").alias("usec_per_frame"),
+        F.col("v.codec").alias("codec"),
+        F.size("frames").cast("bigint").alias("n_sampled"),
+        F.aggregate(frame_grays("frames"), F.lit(0).cast("bigint"),
+                    lambda a, x: a + x).alias("gray_sum"),
+    )
+
+
 def zorder_key_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (z-order) clustering key under oracle: the exact key a
     layout-optimizing write would range-partition on, computed over
@@ -1731,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter_docs": robots_filter_docs,
         "connected_components_docs": connected_components_docs,
         "harmonic_centrality_hosts": harmonic_centrality_hosts,
+        "video_frames_docs": video_frames_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "top_orders_per_cust": top_orders_per_cust,
         "revenue_per_nation": revenue_per_nation,
@@ -2297,6 +2356,24 @@ def oracle_sql() -> dict[str, str]:
                    8 + (doc_id % 5) * 2 AS height,
                    (doc_id % 200) + 255 - (doc_id % 50) AS luma_x510,
                    1085102592571150095 AS phash
+            FROM documents
+        """,
+        # closed form of the AVI generating params (see video_frames_docs):
+        # 3 frames sampled at indices (j*n)//3, frame k is solid gray
+        # (doc_id*7 + k*31) % 256
+        "video_frames_docs": """
+            SELECT doc_id,
+                   CAST(8 + (doc_id % 4) * 2 AS BIGINT) AS width,
+                   CAST(8 + (doc_id % 3) * 2 AS BIGINT) AS height,
+                   CAST(6 + doc_id % 5 AS BIGINT) AS total_frames,
+                   CAST(1000000 // (5 + doc_id % 10) AS BIGINT)
+                       AS usec_per_frame,
+                   'MPNG' AS codec,
+                   CAST(3 AS BIGINT) AS n_sampled,
+                   CAST(list_sum([
+                       (doc_id * 7 + ((j * (6 + doc_id % 5)) // 3) * 31) % 256
+                       for j in generate_series(0, 2)
+                   ]) AS BIGINT) AS gray_sum
             FROM documents
         """,
         "hll_distinct_users": _hll_oracle(),

@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "connected_components_docs",
     # HyperBall harmonic centrality (HLL balls, 3 hops)
     "harmonic_centrality_hosts",
+    # round 6: real AVI container parse + frame sample + PNG pixel decode
+    "video_frames_docs",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)
@@ -221,6 +223,42 @@ def main() -> None:
              cms_sketch(ev, "event_type", width=1024, depth=4),
              ev.select("event_type").distinct(), "event_type", 1024, 4)),
         ("line_dedup_scale", lambda: line_dedup(lined)),
+    ]:
+        timings[name] = _timed_median(build)
+
+    # graph scale twins (round-6 verdict task #6): the contract queries run
+    # tiny demo graphs at oracle-friendly parameters; these run the same
+    # operators at real parameters — a 10^5-node power-law host graph (at
+    # sf0.1), star-variant CC (O(log²) rounds), HyperBall at p=12 /
+    # xxhash64. Edge synthesis is part of each timed rep (it is one narrow
+    # map — the operators dominate).
+    from hyped_spark.operators.graphs import (
+        connected_components_star,
+        hyperball_harmonic,
+    )
+
+    n_hosts = max(10_000, int(1_000_000 * sf))
+
+    def _host_edges():
+        return (
+            spark.range(n_hosts)
+            .select(F.col("id").alias("src"),
+                    F.explode(F.sequence(
+                        F.lit(0),
+                        F.least(F.lit(63),
+                                (F.lit(n_hosts) / (F.col("id") + 1))
+                                .cast("long")),
+                    )).alias("j"))
+            .select("src",
+                    F.pmod(F.xxhash64("src", "j"),
+                           F.lit(n_hosts)).alias("dst"))
+        )
+
+    for name, build in [
+        ("cc_star_hostgraph_scale",
+         lambda: connected_components_star(_host_edges())),
+        ("hyperball_hostgraph_scale",
+         lambda: hyperball_harmonic(_host_edges(), radius=3, p=12)),
     ]:
         timings[name] = _timed_median(build)
 

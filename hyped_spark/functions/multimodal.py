@@ -339,11 +339,156 @@ def resize_images(df: DataFrame, blob_col: str = "image", out: str = "resized",
     return df.mapInPandas(run, out_schema)
 
 
+# ---------------------------------------------------------------------------
+# video (RIFF/AVI — the container layout is a public specification: the AVI
+# RIFF form from the Video for Windows SDK / OpenDML AVI spec. Container
+# parse + frame extraction are fully stdlib-expressible; decoding the frame
+# payloads themselves then reuses the image codecs above, so an AVI whose
+# frames are PNG blobs ("motion PNG", fourcc MPNG) round-trips to real
+# pixels with zero external libraries, and MJPG frames yield real
+# dimensions via the JPEG header scan.)
+# ---------------------------------------------------------------------------
+
+VIDEO_META = T.StructType([
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("usec_per_frame", T.LongType()),
+    T.StructField("codec", T.StringType()),
+])
+
+
+def encode_avi(frames: list[bytes], width: int, height: int,
+               fps: int = 10, codec: bytes = b"MPNG") -> bytes:
+    """Encode pre-compressed frame blobs as a spec-valid AVI, stdlib-only.
+
+    Layout per the public AVI RIFF form: RIFF('AVI ') → LIST('hdrl') with
+    the 56-byte main header (``avih``) and one video stream
+    (LIST('strl') → ``strh`` + BITMAPINFOHEADER ``strf``) → LIST('movi')
+    with one word-aligned ``00dc`` chunk per frame → ``idx1`` index."""
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(form: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", form + data)
+
+    n = len(frames)
+    usec = 1_000_000 // fps
+    max_bytes = max((len(f) for f in frames), default=0)
+    avih = struct.pack("<10I4I", usec, max_bytes * fps, 0, 0x10, n, 0, 1,
+                       max_bytes, width, height, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sI2H8I4h", b"vids", codec, 0, 0, 0, 0,
+                       1, fps, 0, n, max_bytes, 0xFFFFFFFF, 0,
+                       0, 0, width, height)
+    strf = struct.pack("<I2i2H2I2i2I", 40, width, height, 1, 24,
+                       struct.unpack("<I", codec)[0], width * height * 3,
+                       0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"movi"
+    idx = b""
+    for f in frames:
+        # idx1 offsets point at the chunk id, relative to the 'movi' fourcc
+        idx += struct.pack("<4s3I", b"00dc", 0x10, len(movi_body), len(f))
+        movi_body += chunk(b"00dc", f)
+    body = b"AVI " + hdrl + chunk(b"LIST", movi_body) + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi(blob: bytes):
+    """RIFF chunk scan → (width, height, n_frames, usec_per_frame, codec,
+    [frame blobs]), or None when the payload is not RIFF/AVI.
+
+    Reads the ``avih`` main header for dimensions and timing, ``strh`` of
+    the first ``vids`` stream for the codec fourcc, and collects every
+    ``..dc``/``..db`` chunk inside LIST('movi') as a frame payload. Chunks
+    are word-aligned (the pad byte is not part of the payload)."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        return None
+    width = height = usec = 0
+    n_frames = 0
+    codec = ""
+    frames: list[bytes] = []
+
+    def scan(lo: int, hi: int) -> None:
+        nonlocal width, height, usec, n_frames, codec
+        i = lo
+        while i + 8 <= hi:
+            cid = blob[i:i + 4]
+            (clen,) = struct.unpack("<I", blob[i + 4:i + 8])
+            data_lo = i + 8
+            data_hi = min(data_lo + clen, hi)
+            if cid == b"LIST":
+                form = blob[data_lo:data_lo + 4]
+                if form in (b"hdrl", b"movi", b"strl"):
+                    scan(data_lo + 4, data_hi)
+            elif cid == b"avih" and clen >= 40:
+                usec, _mb, _pg, _fl, n_frames = struct.unpack(
+                    "<5I", blob[data_lo:data_lo + 20])
+                width, height = struct.unpack(
+                    "<2I", blob[data_lo + 32:data_lo + 40])
+            elif cid == b"strh" and clen >= 8 and not codec:
+                if blob[data_lo:data_lo + 4] == b"vids":
+                    codec = blob[data_lo + 4:data_lo + 8].decode(
+                        "ascii", "replace").strip("\x00 ") or "DIB"
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                frames.append(blob[data_lo:data_hi])
+            i = data_lo + clen + (clen & 1)
+
+    scan(12, len(blob))
+    if width == 0 and not frames:
+        return None
+    return width, height, n_frames or len(frames), usec, codec, frames
+
+
+def decode_video_meta(df: DataFrame, blob_col: str = "video",
+                      out: str = "meta") -> DataFrame:
+    """video binary → (width, height, n_frames, usec_per_frame, codec)
+    from the AVI container header — REAL, stdlib-only, map-only.
+    Unrecognized payloads yield a NULL struct (filterable, never
+    fabricated)."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields] + [T.StructField(out, VIDEO_META)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        for pdf in batches:
+            metas = []
+            for blob in pdf[blob_col]:
+                p = parse_avi(bytes(blob)) if blob is not None else None
+                metas.append(
+                    None if p is None
+                    else {"width": p[0], "height": p[1], "n_frames": p[2],
+                          "usec_per_frame": p[3], "codec": p[4]}
+                )
+            yield pdf.assign(**{out: metas})
+
+    return df.mapInPandas(run, out_schema)
+
+
+def sample_frame_indices(total: int, k: int) -> list[int]:
+    """Evenly-spaced frame sample: the first frame of each of ``k`` equal
+    buckets — pure integer index math ((j·total)//k), so the selection is
+    identical on every executor and closed-form replayable in SQL."""
+    k = min(k, total)
+    return [(j * total) // k for j in range(k)]
+
+
 def sample_video_frames(df: DataFrame, blob_col: str = "video",
                         out: str = "frames", n_frames: int = 4,
                         fake: bool = False) -> DataFrame:
-    """video binary → array of frame blobs, 1 row → 1 row with array column
-    (frame-sampling plumbing; STUB codec)."""
+    """video binary → array of frame blobs, 1 row → 1 row with array column.
+
+    REAL path (default): parse the AVI container (public RIFF spec, stdlib
+    struct scan — no ffmpeg) and return ``n_frames`` evenly-sampled frame
+    payloads (see :func:`sample_frame_indices`). The payloads are whatever
+    the stream carries — PNG blobs (fourcc MPNG) decode to real pixels via
+    :func:`decode_png_pixels`; MJPG blobs give real dimensions via
+    :func:`parse_image_header`. Non-AVI payloads raise at the exact point
+    a real codec would be needed. ``fake=True`` keeps the deterministic
+    sha256 plumbing twin for schema/batch-shape tests."""
     out_schema = T.StructType(
         [f for f in df.schema.fields]
         + [T.StructField(out, T.ArrayType(T.BinaryType()))]
@@ -356,12 +501,21 @@ def sample_video_frames(df: DataFrame, blob_col: str = "video",
                 if blob is None:
                     col.append(None)
                     continue
-                if not fake:
-                    raise NotImplementedError("real frame extraction needs ffmpeg")
-                col.append([
-                    hashlib.sha256(bytes(blob) + bytes([k])).digest()
-                    for k in range(n_frames)
-                ])
+                if fake:
+                    col.append([
+                        hashlib.sha256(bytes(blob) + bytes([k])).digest()
+                        for k in range(n_frames)
+                    ])
+                    continue
+                p = parse_avi(bytes(blob))
+                if p is None:
+                    raise NotImplementedError(
+                        "unrecognized video container — not RIFF/AVI "
+                        "(other containers need ffmpeg)"
+                    )
+                frames = p[5]
+                col.append([frames[i] for i in
+                            sample_frame_indices(len(frames), n_frames)])
             yield pdf.assign(**{out: col})
 
     return df.mapInPandas(run, out_schema)

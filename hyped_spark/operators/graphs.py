@@ -156,6 +156,7 @@ def connected_components(
     dst_col: str = "dst",
     iters: int | None = None,
     max_iters: int = 50,
+    info: dict | None = None,
 ) -> DataFrame:
     """Connected components by min-label propagation: every node's label
     converges to the smallest node id in its component — the standalone
@@ -170,6 +171,12 @@ def connected_components(
     Each round: one join of labels onto the (pre-shuffled, undirected)
     edge list + one min-aggregation — the same two exchanges as pagerank —
     with the identical localCheckpoint-per-round plan discipline.
+
+    Rounds needed = graph diameter (labels spread one hop per round), which
+    is fine for web host graphs (effective diameter < ~20) but binds on
+    long-chain graphs; :func:`connected_components_star` is the
+    O(log²)-round upgrade for that regime. ``info`` (optional dict) is
+    filled with ``{"rounds": r, "changed_last": n}`` for scale audits.
     """
     from hyped_spark.operators.dedup import _release_local_checkpoint
 
@@ -186,6 +193,7 @@ def connected_components(
 
     rounds = iters if iters is not None else max_iters
     changed = None
+    r = -1
     for r in range(rounds):
         nbr = (
             und.join(lab, und["__s"] == lab["__n"])
@@ -206,6 +214,9 @@ def connected_components(
                 break
         _release_local_checkpoint(lab)
         lab = new
+    if info is not None:
+        info["rounds"] = r + 1
+        info["changed_last"] = changed
     if iters is None and changed is not None and changed > 0:
         # Same discipline as dedup.connected_components: a silent exit at
         # max_iters returns split components (a path graph of diameter
@@ -255,6 +266,139 @@ def connected_components_sql(
     )
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 40,
+    info: dict | None = None,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
+    Components in MapReduce and Beyond", SoCC 2014, public paper): each
+    round hooks every node's neighbors onto the neighborhood minimum, which
+    contracts path distance geometrically — convergence in O(log² n)
+    rounds regardless of diameter, vs diameter rounds for the min-label
+    propagation in :func:`connected_components`. Use this form when the
+    graph can contain long chains (lineage graphs, road-like link spam);
+    for web host graphs (effective diameter < ~20) plain propagation runs
+    fewer, cheaper rounds.
+
+    Per round: two groupBy-min + join passes over the current edge set —
+    the edge set itself is the loop state (no separate label frame), and
+    its size only shrinks (large-star output is bounded by the input edge
+    count; small-star strictly dedups). Same localCheckpoint-per-round
+    plan discipline as the other iterative operators. Convergence check =
+    (count, xxhash64-sum) signature equality of the canonical edge set —
+    a 1-row aggregate, no driver-side edge payload.
+
+    Returns (node, component) with component = min node id, identical to
+    :func:`connected_components` (fuzz-asserted in tests).
+    """
+    from hyped_spark.operators.dedup import _release_local_checkpoint
+
+    e0 = edges.select(
+        F.col(src_col).alias("__a"), F.col(dst_col).alias("__b")
+    )
+    nodes = (
+        e0.select(F.col("__a").alias("node"))
+        .union(e0.select("__b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # canonical undirected edge set, self-loops dropped (they carry no
+    # connectivity; their endpoints are already in `nodes`)
+    e = (
+        e0.filter(F.col("__a") != F.col("__b"))
+        .select(F.greatest("__a", "__b").alias("__a"),
+                F.least("__a", "__b").alias("__b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _signature(f: DataFrame):
+        # two salted order-independent checksums; terms bounded to 2^25 so
+        # the ANSI-mode sum cannot overflow below ~2^38 edges
+        row = f.agg(
+            F.count("*").alias("c"),
+            F.coalesce(F.sum(F.pmod(F.xxhash64(F.lit(1), "__a", "__b"),
+                                    F.lit(1 << 25))), F.lit(0)).alias("h1"),
+            F.coalesce(F.sum(F.pmod(F.xxhash64(F.lit(2), "__a", "__b"),
+                                    F.lit(1 << 25))), F.lit(0)).alias("h2"),
+        ).collect()[0]  # 1-row aggregate: metadata-sized collect
+        return row[0], row[1], row[2]
+
+    def _large_star(f: DataFrame) -> DataFrame:
+        # neighbors under BOTH orientations; hook strictly-larger
+        # neighbors onto min(N(u) ∪ {u})
+        und = f.union(
+            f.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
+        )
+        mins = und.groupBy("__a").agg(
+            F.min("__b").alias("__m")
+        ).select("__a", F.least("__a", "__m").alias("__m"))
+        return (
+            und.join(mins, "__a")
+            .filter(F.col("__b") > F.col("__a"))
+            .select(F.col("__b").alias("__a"), F.col("__m").alias("__b"))
+            .filter(F.col("__a") != F.col("__b"))
+            .distinct()
+        )
+
+    def _small_star(f: DataFrame) -> DataFrame:
+        # orient (larger → smaller); hook all smaller neighbors (and the
+        # node itself) onto the minimum smaller neighbor
+        o = f.select(F.greatest("__a", "__b").alias("__a"),
+                     F.least("__a", "__b").alias("__b"))
+        mins = o.groupBy("__a").agg(F.min("__b").alias("__m"))
+        hooked = (
+            o.join(mins, "__a")
+            .select(F.col("__b").alias("__a"), F.col("__m").alias("__b"))
+            .filter(F.col("__a") != F.col("__b"))
+        )
+        return (
+            hooked.union(
+                mins.select(F.col("__a"), F.col("__m").alias("__b"))
+            )
+            .select(F.greatest("__a", "__b").alias("__a"),
+                    F.least("__a", "__b").alias("__b"))
+            .distinct()
+        )
+
+    sig = _signature(e)
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_sig = _signature(new)
+        _release_local_checkpoint(e)
+        e, converged = new, new_sig == sig
+        sig = new_sig
+        if converged:
+            break
+    else:  # pragma: no cover — O(log² n) bound makes this near-unreachable
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star stopped at max_rounds={max_rounds} "
+            "without reaching a fixed point — components may be split; "
+            "raise max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    if info is not None:
+        info["rounds"] = rounds
+    # fixed point: every remaining edge is (node → its component min);
+    # component roots and isolated nodes label themselves
+    lab = nodes.join(
+        e.select(F.col("__a").alias("node"), F.col("__b").alias("__l")),
+        "node", "left",
+    ).select(
+        "node",
+        F.coalesce(F.col("__l"), F.col("node")).alias("component"),
+    )
+    return lab
+
+
 def hyperball_harmonic(
     edges: DataFrame,
     src_col: str = "src",
@@ -262,6 +406,7 @@ def hyperball_harmonic(
     radius: int = 3,
     p: int = 4,
     hash_mode: str = "xxhash64",
+    info: dict | None = None,
 ) -> DataFrame:
     """Harmonic centrality via HyperBall (Boldi & Vigna 2013) — the
     algorithm Common Crawl uses for its host-level harmonic rankings.
@@ -278,6 +423,13 @@ def hyperball_harmonic(
     so with ``hash_mode="md5"`` every ball estimate, and therefore the
     centrality itself, replays bit-for-bit in SQL despite being an
     approximation.
+
+    ``info`` (optional dict) records the per-round scale audit —
+    ``register_rows`` (total register-table rows, bounded by m·|V|),
+    ``max_regs_per_node`` (bounded by m = 2^p), and ``plan_chars`` (length
+    of the round frame's analyzed plan string, flat when the
+    localCheckpoint lineage cut is doing its job). Costs one extra count
+    job per round; leave ``None`` in production.
     """
     from hyped_spark.operators.dedup import _release_local_checkpoint
     from hyped_spark.operators.sketches import (
@@ -297,12 +449,28 @@ def hyperball_harmonic(
     c = hll_registers(
         nodes, "node", p, ("node",), hash_mode
     ).localCheckpoint(eager=True)
+
+    def _audit(frame: DataFrame) -> None:
+        if info is None:
+            return
+        row = frame.groupBy("node").count().agg(
+            F.count("*").alias("n"), F.sum("count").alias("rows"),
+            F.max("count").alias("mx"),
+        ).collect()[0]  # 1-row aggregate: metadata-sized collect
+        info.setdefault("register_rows", []).append(int(row["rows"] or 0))
+        info.setdefault("max_regs_per_node", []).append(int(row["mx"] or 0))
+        info.setdefault("plan_chars", []).append(
+            len(frame._jdf.queryExecution().analyzed().toString())
+        )
+
+    _audit(c)
     balls = [hll_estimate(c, p, ("node",)).localCheckpoint(eager=True)]
     for _ in range(radius):
         nbr = e.join(c, c["node"] == e["__s"]).select(
             F.col("__d").alias("node"), "bucket", "rho"
         )
         c2 = hll_merge(c, nbr).localCheckpoint(eager=True)
+        _audit(c2)
         balls.append(hll_estimate(c2, p, ("node",)).localCheckpoint(eager=True))
         _release_local_checkpoint(c)
         c = c2

@@ -330,6 +330,18 @@ def main() -> None:
          or "ArrowEvalPython" in p),
     ]))
 
+    # 27b. real AVI video frame extraction: container parse + frame sample
+    # + per-frame PNG decode are all map-only Arrow stages; blobs never
+    # shuffle
+    p = plan_of(q["video_frames_docs"](spark, SF))
+    sections.append(("video_frames_docs (stdlib AVI parse, map-only)", p, [
+        ("no exchange — video blobs never shuffle",
+         len(re.findall(r"\(\d+\) Exchange", p)) == 0),
+        ("Arrow-vectorized container parse (mapInPandas)",
+         "MapInPandas" in p or "ArrowEvalPython" in p),
+        ("no row-at-a-time Python", "BatchEvalPython" not in p),
+    ]))
+
     # 28. inverted-index BM25 search over a STORED postings table: the
     # query's term filter must push into the parquet scan (row-group
     # pruning = the inverted-index property), and search is one pivot

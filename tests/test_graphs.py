@@ -187,3 +187,120 @@ def test_hyperball_deterministic(spark):
                    hyperball_harmonic(df.repartition(9), radius=3,
                                       p=4).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# large-star/small-star CC (the O(log²)-round variant) + host-graph scale
+# ---------------------------------------------------------------------------
+
+
+def test_star_cc_matches_propagation_fuzz(spark):
+    """Alternating large/small-star labels equal min-label propagation on
+    random multigraphs, self-loops, duplicates, and isolated pairs."""
+    import random
+
+    from hyped_spark.operators.graphs import (connected_components,
+                                              connected_components_star)
+
+    rng = random.Random(13)
+    cases = [
+        [(rng.randrange(30), rng.randrange(30)) for _ in range(rng.randint(3, 50))]
+        for _ in range(4)
+    ]
+    cases.append([(1, 1), (2, 3), (3, 2), (4, 5), (5, 6), (9, 9)])
+    for t, edges in enumerate(cases):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        a = {r.node: r.component
+             for r in connected_components(df, max_iters=100).collect()}
+        b = {r.node: r.component
+             for r in connected_components_star(df).collect()}
+        assert a == b, f"case {t}: star CC diverged from propagation"
+
+
+def test_star_cc_beats_diameter_on_chains(spark):
+    """A diameter-100 path needs 100 propagation rounds but O(log) star
+    rounds — the regime the star variant exists for."""
+    from hyped_spark.operators.graphs import connected_components_star
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(100)],
+                               "src long, dst long")
+    info = {}
+    out = connected_components_star(df, info=info).collect()
+    assert all(r.component == 0 for r in out) and len(out) == 101
+    assert info["rounds"] <= 10, f"expected O(log n) rounds, got {info['rounds']}"
+
+
+def test_star_cc_warns_when_round_budget_exhausted(spark):
+    import warnings
+
+    from hyped_spark.operators.graphs import connected_components_star
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(40)],
+                               "src long, dst long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components_star(df, max_rounds=1).collect()
+    assert any("max_rounds" in str(x.message) for x in w)
+
+
+def test_host_graph_scale_cc_and_hyperball(spark):
+    """Round-6 verdict task: the graph operators on a synthetic host graph
+    at real parameters — 10^5 nodes, power-law out-degree (hub node 0 has
+    64 out-links, the tail has 1), HyperBall at p=12 — asserting the
+    invariants that make them safe at 100×:
+
+    - HyperBall per-node state stays ≤ m = 2^p registers and the register
+      table stays ≤ m·|V| rows at every round (the state bound IS the
+      scale contract of sketch-based centrality);
+    - the per-round plan string length is FLAT (localCheckpoint lineage
+      cut working — the failure mode is combinatorial plan growth that
+      hangs the driver around round 7);
+    - min-label CC converges well under the round budget on a hub-and-
+      spoke web shape (rounds = distance from the min-id node), the star
+      variant converges in fewer rounds still, and both agree.
+    """
+    from pyspark.sql import functions as F
+
+    from hyped_spark.operators.graphs import (connected_components,
+                                              connected_components_star,
+                                              hyperball_harmonic)
+
+    N = 100_000
+    edges = (
+        spark.range(N)
+        .select(F.col("id").alias("src"),
+                F.explode(F.sequence(
+                    F.lit(0),
+                    F.least(F.lit(63),
+                            (F.lit(N) / (F.col("id") + 1)).cast("long")),
+                )).alias("j"))
+        .select("src", F.pmod(F.xxhash64("src", "j"), F.lit(N)).alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    assert edges.count() > 500_000  # ~573k edges
+
+    info = {}
+    cc = connected_components(edges, info=info)
+    labels = {r.node: r.component for r in cc.collect()}
+    assert len(labels) == N
+    assert info["changed_last"] == 0, "did not converge"
+    assert info["rounds"] <= 15, f"hub graph should converge fast: {info}"
+
+    sinfo = {}
+    slabels = {r.node: r.component
+               for r in connected_components_star(edges, info=sinfo).collect()}
+    assert slabels == labels
+    assert sinfo["rounds"] <= info["rounds"]
+
+    p, radius, m = 12, 3, 1 << 12
+    hinfo = {}
+    h = hyperball_harmonic(edges, radius=radius, p=p, info=hinfo)
+    assert h.count() == N
+    assert len(hinfo["register_rows"]) == radius + 1
+    assert all(r <= m * N for r in hinfo["register_rows"])
+    assert all(x <= m for x in hinfo["max_regs_per_node"])
+    rows = hinfo["register_rows"]
+    assert all(a <= b for a, b in zip(rows, rows[1:])), \
+        "ball growth must be monotone (register merge is a max)"
+    pc = hinfo["plan_chars"]
+    assert max(pc) <= 2 * min(pc), f"plan growth across rounds: {pc}"

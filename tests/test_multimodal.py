@@ -200,3 +200,100 @@ def test_spark_decode_audio_features(spark):
     plan = decode_audio_features(df, "audio", "a") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only: blobs never shuffle
+
+
+# ---------------------------------------------------------------------------
+# video (RIFF/AVI container — real stdlib parse + frame extraction)
+# ---------------------------------------------------------------------------
+
+
+def _mpng_avi(n: int = 7, w: int = 8, h: int = 6, fps: int = 12,
+              seed: int = 0) -> bytes:
+    from hyped_spark.functions.multimodal import encode_avi, encode_png
+
+    frames = [encode_png(np.full((h, w, 1), (seed + 37 * k) % 256,
+                                 dtype=np.uint8)) for k in range(n)]
+    return encode_avi(frames, w, h, fps=fps)
+
+
+def test_avi_roundtrip_and_alignment():
+    """encode → parse is the identity on frame payloads, including
+    odd-length frames (word-aligned chunks) and container metadata."""
+    from hyped_spark.functions.multimodal import (decode_png_pixels,
+                                                  encode_avi, parse_avi)
+
+    blob = _mpng_avi(n=5, w=10, h=4, fps=25, seed=3)
+    w, h, n, usec, codec, frames = parse_avi(blob)
+    assert (w, h, n, usec, codec, len(frames)) == (10, 4, 5, 40000, "MPNG", 5)
+    for k, f in enumerate(frames):
+        px = decode_png_pixels(f)
+        assert px.shape == (4, 10, 1) and int(px[0, 0, 0]) == (3 + 37 * k) % 256
+
+    odd = [b"x" * 3, b"y" * 5, b"z" * 4]  # odd lengths exercise pad bytes
+    assert parse_avi(encode_avi(odd, 1, 1, fps=1))[5] == odd
+    assert parse_avi(b"RIFFxxxxWAVE") is None
+    assert parse_avi(b"\x89PNGnot-a-riff") is None
+
+
+def test_avi_mjpg_frames_give_real_dimensions():
+    """An MJPG-tagged AVI carries JPEG payloads; the frame blobs parse with
+    the real JPEG header scan (entropy decode stays behind the codec
+    boundary, as for still JPEGs)."""
+    from hyped_spark.functions.multimodal import (encode_avi,
+                                                  parse_image_header,
+                                                  parse_avi)
+
+    # minimal JPEG: SOI + SOF0 (h=2, w=3, 1 comp) + EOI
+    jpg = (b"\xff\xd8"
+           + b"\xff\xc0" + struct.pack(">H", 11)
+           + bytes([8]) + struct.pack(">HH", 2, 3) + bytes([1, 1, 0x11, 0])
+           + b"\xff\xd9")
+    assert parse_image_header(jpg) == ("jpeg", 3, 2, 1)
+    p = parse_avi(encode_avi([jpg, jpg], 3, 2, fps=10, codec=b"MJPG"))
+    assert p[4] == "MJPG"
+    assert [parse_image_header(f) for f in p[5]] == [("jpeg", 3, 2, 1)] * 2
+
+
+def test_sample_frame_indices_grid():
+    from hyped_spark.functions.multimodal import sample_frame_indices
+
+    assert sample_frame_indices(7, 3) == [0, 2, 4]
+    assert sample_frame_indices(10, 4) == [0, 2, 5, 7]
+    assert sample_frame_indices(2, 5) == [0, 1]  # k caps at total
+    assert sample_frame_indices(1, 1) == [0]
+
+
+def test_spark_video_meta_and_real_frames(spark):
+    """decode_video_meta + sample_video_frames(fake=False) run the REAL
+    container parse in the map-only Arrow stage; junk payloads yield a
+    NULL meta struct and raise at the frame-extraction codec boundary."""
+    from hyped_spark.functions.multimodal import (decode_png_pixels,
+                                                  decode_video_meta,
+                                                  sample_video_frames)
+
+    rows = [(i, _mpng_avi(n=6 + i, seed=i)) for i in range(3)]
+    df = spark.createDataFrame(rows + [(99, None)], "id long, video binary")
+    metas = {r.id: r.m for r in decode_video_meta(df, "video", "m").collect()}
+    assert metas[99] is None
+    for i in range(3):
+        assert (metas[i].width, metas[i].height, metas[i].n_frames,
+                metas[i].codec) == (8, 6, 6 + i, "MPNG")
+
+    got = {r.id: r.frames for r in
+           sample_video_frames(df, "video", n_frames=3).collect()}
+    assert got[99] is None
+    for i in range(3):
+        n = 6 + i
+        grays = [int(decode_png_pixels(bytes(f))[0, 0, 0]) for f in got[i]]
+        assert grays == [(i + 37 * ((j * n) // 3)) % 256 for j in range(3)]
+
+    plan = sample_video_frames(df, "video") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: blobs never shuffle
+
+    junk = spark.createDataFrame([(1, b"not a riff")], "id long, video binary")
+    with pytest.raises(Exception, match="RIFF/AVI"):
+        sample_video_frames(junk, "video").collect()
+    # fake=True stays the deterministic plumbing twin
+    fake = sample_video_frames(junk, "video", n_frames=2, fake=True).collect()
+    assert len(fake[0].frames) == 2 and len(fake[0].frames[0]) == 32

@@ -210,6 +210,8 @@ def test_collect_sites_are_metadata_sized():
         ("operators/similarity.py", "train_cap",
          "hash-ranked training sample: bounded by train_cap"),
         ("operators/similarity.py", "F.min(", "per-dim min/max: 1 row"),
+        ("operators/graphs.py", "1-row aggregate: metadata-sized collect",
+         "star-CC convergence signature / hyperball register audit: 1 row"),
     ]
     unexplained = []
     for dirpath, _dirs, files in os.walk(root):
