@@ -13,6 +13,13 @@ public specifications):
   (marker-segment scan). Entropy decode genuinely needs a codec, so pixel
   features raise ``NotImplementedError``.
 - **GIF / BMP**: real width/height from the fixed header layout.
+- **WAV (RIFF/WAVE)**: full PCM decode — header params, per-sample
+  RMS/peak.
+- **AVI (RIFF) video**: real container parse + frame extraction; MPNG
+  frames decode to pixels via the PNG codec, MJPG frames give header
+  dimensions. Compressed video codecs stay behind the ffmpeg boundary.
+- **Resize**: real nearest-neighbor resample for PNG payloads
+  (decode → integer-grid index → re-encode).
 
 Anything the stdlib can't decode raises ``NotImplementedError`` at the
 exact point where Pillow/ffmpeg would be called — a pipeline can NEVER
@@ -314,9 +321,26 @@ def decode_image_features(df: DataFrame, blob_col: str = "image",
     return df.mapInPandas(run, out_schema)
 
 
+def resize_pixels(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample of an H×W×C uint8 array — pure integer
+    index math (source index = (dst·src_dim)//dst_dim, the same even-grid
+    rule as :func:`sample_frame_indices`), so results are identical on
+    every executor and closed-form replayable."""
+    h, w = px.shape[:2]
+    ri = (np.arange(height) * h) // height
+    ci = (np.arange(width) * w) // width
+    return px[ri][:, ci]
+
+
 def resize_images(df: DataFrame, blob_col: str = "image", out: str = "resized",
                   width: int = 224, height: int = 224, fake: bool = False) -> DataFrame:
-    """binary → binary resize (STUB codec; deterministic fake output)."""
+    """binary → binary resize, map-only.
+
+    REAL path (default): full PNG decode → nearest-neighbor resample on
+    the integer grid (:func:`resize_pixels`) → PNG re-encode, all stdlib.
+    Non-PNG payloads raise at the exact point a codec library would be
+    called (JPEG entropy decode etc.) — never fabricates. ``fake=True``
+    keeps the deterministic sha256 plumbing twin."""
     out_schema = T.StructType(
         [f for f in df.schema.fields] + [T.StructField(out, T.BinaryType())]
     )
@@ -328,12 +352,14 @@ def resize_images(df: DataFrame, blob_col: str = "image", out: str = "resized",
                 if blob is None:
                     blobs.append(None)
                     continue
-                if not fake:
-                    raise NotImplementedError("real resize needs an image codec")
-                seed = hashlib.sha256(
-                    bytes(blob) + f"|{width}x{height}".encode()
-                ).digest()
-                blobs.append(seed * 4)  # deterministic fake payload
+                if fake:
+                    seed = hashlib.sha256(
+                        bytes(blob) + f"|{width}x{height}".encode()
+                    ).digest()
+                    blobs.append(seed * 4)  # deterministic fake payload
+                    continue
+                px = decode_png_pixels(bytes(blob))  # raises for non-PNG
+                blobs.append(encode_png(resize_pixels(px, width, height)))
             yield pdf.assign(**{out: blobs})
 
     return df.mapInPandas(run, out_schema)

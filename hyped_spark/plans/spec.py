@@ -475,6 +475,84 @@ def _pagerank(p: dict) -> Stage:
     )
 
 
+@register("connected_components")
+def _connected_components(p: dict) -> Stage:
+    """Input frame = the (src, dst) edge list; output = (node, component).
+    ``algorithm``: "propagation" (min-label, rounds = diameter — right for
+    web host graphs) or "star" (large-star/small-star, O(log²) rounds —
+    right for long-chain graphs)."""
+    from hyped_spark.operators.graphs import (
+        connected_components,
+        connected_components_star,
+    )
+
+    algo = p.get("algorithm", "propagation")
+    if algo not in ("propagation", "star"):
+        raise ValueError(f"unknown connected-components algorithm {algo!r}")
+    if algo == "star":
+        return lambda df: connected_components_star(
+            df, src_col=p.get("src", "src"), dst_col=p.get("dst", "dst"),
+            max_rounds=p.get("max_rounds", 40),
+        )
+    return lambda df: connected_components(
+        df, src_col=p.get("src", "src"), dst_col=p.get("dst", "dst"),
+        iters=p.get("iters"), max_iters=p.get("max_iters", 50),
+    )
+
+
+@register("image_features")
+def _image_features(p: dict) -> Stage:
+    from hyped_spark.functions.multimodal import decode_image_features
+    return lambda df: decode_image_features(
+        df, blob_col=p.get("blob_col", "image"), out=p.get("out", "img"),
+        fake=p.get("fake", False),
+    )
+
+
+@register("image_meta")
+def _image_meta(p: dict) -> Stage:
+    from hyped_spark.functions.multimodal import decode_image_meta
+    return lambda df: decode_image_meta(
+        df, blob_col=p.get("blob_col", "image"), out=p.get("out", "meta"),
+    )
+
+
+@register("resize_images")
+def _resize_images(p: dict) -> Stage:
+    from hyped_spark.functions.multimodal import resize_images
+    return lambda df: resize_images(
+        df, blob_col=p.get("blob_col", "image"), out=p.get("out", "resized"),
+        width=p.get("width", 224), height=p.get("height", 224),
+        fake=p.get("fake", False),
+    )
+
+
+@register("audio_features")
+def _audio_features(p: dict) -> Stage:
+    from hyped_spark.functions.multimodal import decode_audio_features
+    return lambda df: decode_audio_features(
+        df, blob_col=p.get("blob_col", "audio"), out=p.get("out", "a"),
+        fake=p.get("fake", False),
+    )
+
+
+@register("video_meta")
+def _video_meta(p: dict) -> Stage:
+    from hyped_spark.functions.multimodal import decode_video_meta
+    return lambda df: decode_video_meta(
+        df, blob_col=p.get("blob_col", "video"), out=p.get("out", "meta"),
+    )
+
+
+@register("video_frames")
+def _video_frames(p: dict) -> Stage:
+    from hyped_spark.functions.multimodal import sample_video_frames
+    return lambda df: sample_video_frames(
+        df, blob_col=p.get("blob_col", "video"), out=p.get("out", "frames"),
+        n_frames=p.get("n_frames", 4), fake=p.get("fake", False),
+    )
+
+
 @register("repartition")
 def _repartition(p: dict) -> Stage:
     cols = [F.col(c) for c in p.get("columns", [])]

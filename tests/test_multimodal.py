@@ -297,3 +297,31 @@ def test_spark_video_meta_and_real_frames(spark):
     # fake=True stays the deterministic plumbing twin
     fake = sample_video_frames(junk, "video", n_frames=2, fake=True).collect()
     assert len(fake[0].frames) == 2 and len(fake[0].frames[0]) == 32
+
+
+def test_resize_images_real_png(spark):
+    """resize_images(fake=False) decodes, integer-grid resamples, and
+    re-encodes real PNG pixels; non-PNG raises at the codec boundary."""
+    from hyped_spark.functions.multimodal import (decode_png_pixels,
+                                                  encode_png, resize_images,
+                                                  resize_pixels)
+
+    img = _rgb(11, h=10, w=8, ch=3)
+    df = spark.createDataFrame([(1, encode_png(img))], "id long, image binary")
+    out = resize_images(df, "image", width=4, height=5).collect()[0].resized
+    got = decode_png_pixels(bytes(out))
+    ri = [(y * 10) // 5 for y in range(5)]
+    ci = [(x * 8) // 4 for x in range(4)]
+    assert got.shape == (5, 4, 3)
+    assert (got == img[ri][:, ci]).all()
+    # pure-python grid rule == vectorized helper
+    assert (resize_pixels(img, 4, 5) == img[ri][:, ci]).all()
+
+    # upscale repeats source pixels on the same grid rule
+    up = resize_pixels(img, 16, 10)
+    assert up.shape == (10, 16, 3) and (up[0, 0] == img[0, 0]).all()
+
+    jpeg = b"\xff\xd8\xff\xd9"
+    bad = spark.createDataFrame([(1, jpeg)], "id long, image binary")
+    with pytest.raises(Exception, match="PNG"):
+        resize_images(bad, "image").collect()

@@ -509,3 +509,44 @@ def test_graph_render_svg(spark):
     texts = [t.text for t in root.findall(f"{ns}text")]
     for n in g.nodes:
         assert n.label in texts
+
+
+def test_multimodal_and_graph_spec_stages(spark):
+    """The multimodal family and connected components are registered
+    config ops: a JSON pipeline spec drives the REAL codecs end-to-end."""
+    from hyped_spark.functions.multimodal import encode_avi, encode_png
+    from hyped_spark.plans.spec import PipelineSpec
+    import numpy as np
+
+    img = encode_png(np.full((6, 4, 1), 99, dtype=np.uint8))
+    avi = encode_avi([img, img, img], 4, 6, fps=10)
+    df = spark.createDataFrame([(1, img, avi)],
+                               "id long, image binary, video binary")
+
+    spec = PipelineSpec(source=None, stages=[
+        {"op": "image_meta", "blob_col": "image", "out": "imeta"},
+        {"op": "resize_images", "blob_col": "image", "out": "small",
+         "width": 2, "height": 2},
+        {"op": "video_meta", "blob_col": "video", "out": "vmeta"},
+        {"op": "video_frames", "blob_col": "video", "out": "frames",
+         "n_frames": 2},
+    ])
+    spec2 = PipelineSpec.from_json(spec.to_json())
+    row = spec2.transform(df).collect()[0]
+    assert (row.imeta.format, row.imeta.width, row.imeta.height) == ("png", 4, 6)
+    assert (row.vmeta.codec, row.vmeta.n_frames) == ("MPNG", 3)
+    assert len(row.frames) == 2
+    from hyped_spark.functions.multimodal import decode_png_pixels
+    assert decode_png_pixels(bytes(row.small)).shape == (2, 2, 1)
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "src long, dst long")
+    for algo in ("propagation", "star"):
+        cc = PipelineSpec(source=None, stages=[
+            {"op": "connected_components", "algorithm": algo},
+        ]).transform(edges)
+        labels = {r.node: r.component for r in cc.collect()}
+        assert labels == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    with pytest.raises(ValueError, match="algorithm"):
+        PipelineSpec(source=None, stages=[
+            {"op": "connected_components", "algorithm": "bogus"},
+        ]).transform(edges)
