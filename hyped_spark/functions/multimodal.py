@@ -110,6 +110,18 @@ def parse_image_header(blob: bytes) -> tuple[str, int, int, int] | None:
 def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
     """Reverse PNG scanline filtering (types 0-4, spec §6) → H×W×ch uint8."""
     stride = w * ch
+    flat = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1))
+    rows = flat.reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    if not ftypes.any():
+        # all-None-filter image (the common case for small/synthetic PNGs):
+        # one reshape, no per-scanline Python loop
+        return rows[:, 1:].copy().reshape(h, w, ch)
+    if (ftypes == 2).all():
+        # all-Up: unfiltering is a running column sum mod 256 — uint8
+        # overflow IS mod-256 arithmetic, so cumsum in uint8 is exact
+        return np.cumsum(rows[:, 1:], axis=0, dtype=np.uint8) \
+            .reshape(h, w, ch)
     out = np.empty((h, stride), dtype=np.uint8)
     pos = 0
     prev = np.zeros(stride, dtype=np.uint8)
@@ -158,6 +170,16 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
         return (struct.pack(">I", len(data)) + typ + data
                 + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
 
+    if filter_type == 0:
+        # vectorized common case: filter byte column + raw scanlines
+        rows = np.concatenate(
+            [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * ch)],
+            axis=1,
+        )
+        ihdr0 = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (_PNG_SIG + chunk(b"IHDR", ihdr0)
+                + chunk(b"IDAT", zlib.compress(rows.tobytes()))
+                + chunk(b"IEND", b""))
     raw = bytearray()
     prev = np.zeros(w * ch, dtype=np.int32)
     for y in range(h):
@@ -232,12 +254,19 @@ def _ahash64(y: np.ndarray) -> int:
     h, w = y.shape
     ri = np.linspace(0, h, 9).astype(int)
     ci = np.linspace(0, w, 9).astype(int)
-    grid = np.empty((8, 8))
-    for a in range(8):
-        for b in range(8):
-            block = y[ri[a]:max(ri[a + 1], ri[a] + 1),
-                      ci[b]:max(ci[b + 1], ci[b] + 1)]
-            grid[a, b] = block.mean()
+    if h >= 8 and w >= 8:
+        # strictly increasing grid → block means via two reduceat passes
+        # (no per-block Python loop)
+        sums = np.add.reduceat(
+            np.add.reduceat(y, ri[:-1], axis=0), ci[:-1], axis=1)
+        grid = sums / np.outer(np.diff(ri), np.diff(ci))
+    else:
+        grid = np.empty((8, 8))
+        for a in range(8):
+            for b in range(8):
+                block = y[ri[a]:max(ri[a + 1], ri[a] + 1),
+                          ci[b]:max(ci[b + 1], ci[b] + 1)]
+                grid[a, b] = block.mean()
     bits = (grid > grid.mean()).flatten()
     v = 0
     for bit in bits:
