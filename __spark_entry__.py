@@ -1523,6 +1523,43 @@ def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (hyped_spark/operators/dsir.py; Xie et
+    al. 2023) — select the 40 raw documents whose hashed-bigram
+    distribution best matches the lang='en' target slice, ∝ exp(log p −
+    log q) via deterministic Gumbel top-k. Both add-1 fits (8-dp-rounded
+    log-probs), the map-only broadcast-λ fold, and the md5-derived Gumbel
+    noise replay bit-for-bit in DuckDB."""
+    from hyped_spark.operators.dsir import dsir_select
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    target = d.filter(F.col("lang") == "en").select("doc_id", "text")
+    raw = d.select("doc_id", "text")
+    sel = dsir_select(
+        target, raw, k=40, buckets=2048, alpha=1.0, seed=42,
+        hash_mode="md5",
+    )
+    return sel.select("doc_id", F.round("logw", 6).alias("logw"))
+
+
+def bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (hyped_spark/operators/bpe.py;
+    Sennrich et al. 2016): 12 merge rounds over the documents corpus.
+    One corpus-sized shuffle (word counts), then vocab-sized rounds with
+    1-row argmax collects; the doubled-delimiter replace makes every
+    round bit-replayable, so the DuckDB oracle re-learns the identical
+    merge table from scratch."""
+    from hyped_spark.operators.bpe import bpe_train
+
+    d = _load(spark, sf_dir, "documents").select("text")
+    merges = bpe_train(d, num_merges=12)
+    return spark.createDataFrame(
+        [(m["rank"], m["lhs"], m["rhs"], m["merged"], m["weight"])
+         for m in merges],
+        "rank int, lhs string, rhs string, merged string, weight bigint",
+    )
+
+
 def pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph authority ranking (hyped_spark/operators/graphs.py:
     pagerank) — Common-Crawl-style domain centrality. A deterministic
@@ -1840,6 +1877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": stratified_sample_docs,
         "price_percentiles": price_percentiles,
         "vocab_top_tokens": vocab_top_tokens,
+        "dsir_select_docs": dsir_select_docs,
+        "bpe_train_docs": bpe_train_docs,
     }
 
 
@@ -2391,6 +2430,8 @@ def oracle_sql() -> dict[str, str]:
                    text
             FROM documents
         """,
+        "dsir_select_docs": _dsir_select_oracle(),
+        "bpe_train_docs": _bpe_train_oracle(),
     }
 
 
@@ -3599,6 +3640,44 @@ def _quality_classifier_oracle() -> str:
         )
         SELECT doc_id, round({score}, 6) AS score FROM documents, w
     """
+
+
+def _dsir_select_oracle() -> str:
+    """DuckDB replays the whole DSIR run: both add-1 fits as
+    generate_series LEFT JOIN CTEs (8-dp log-probs match the Python-side
+    rounding in fit_hashed_gram_dist), λ as an elementwise list
+    difference, the per-doc fold via a list comprehension over the
+    cross-joined λ row, and the Gumbel key from the same md5-derived
+    uniform — then the identical ORDER BY … LIMIT 40."""
+    from hyped_spark.operators.dsir import (
+        dsir_logweight_sql,
+        fit_hashed_gram_dist_sql,
+        gumbel_key_sql,
+    )
+
+    b = 2048
+    fit_t = fit_hashed_gram_dist_sql(
+        "SELECT text FROM documents WHERE lang = 'en'", b)
+    fit_q = fit_hashed_gram_dist_sql("SELECT text FROM documents", b)
+    lw = dsir_logweight_sql("lam.arr", b)
+    key = gumbel_key_sql("doc_id", "lw", 42)
+    return f"""
+        WITH pt AS ({fit_t}), pq AS ({fit_q}),
+        lam AS (
+            SELECT [pt.arr[i] - pq.arr[i]
+                    FOR i IN generate_series(1, {b})] AS arr
+            FROM pt, pq
+        ),
+        scored AS (SELECT doc_id, {lw} AS lw FROM documents, lam)
+        SELECT doc_id, round(lw, 6) AS logw FROM scored
+        ORDER BY {key} DESC, doc_id LIMIT 40
+    """
+
+
+def _bpe_train_oracle() -> str:
+    from hyped_spark.operators.bpe import bpe_train_sql
+
+    return bpe_train_sql("SELECT text FROM documents", 12)
 
 
 def _pagerank_oracle() -> str:

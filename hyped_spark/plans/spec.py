@@ -500,6 +500,52 @@ def _connected_components(p: dict) -> Stage:
     )
 
 
+@register("bpe_encode")
+def _bpe_encode(p: dict) -> Stage:
+    """Encode text with learned BPE merges (operators/bpe.py): merges
+    inline in the spec (``merges``: list of {lhs, rhs} dicts, rank order)
+    or loaded from a (rank, lhs, rhs, ...) artifact path."""
+    from hyped_spark.operators.bpe import bpe_apply
+
+    def run(df: DataFrame) -> DataFrame:
+        ms = p.get("merges")
+        if ms is None:
+            # artifact = (rank, lhs, rhs) columns; collect is model-sized
+            mdf = getattr(df.sparkSession.read, p.get("format", "parquet"))(
+                p["merges_path"]
+            )
+            ms = [r.asDict() for r in mdf.orderBy("rank").collect()]
+        return bpe_apply(
+            df, ms, text_col=p.get("text_col", "text"),
+            out_col=p.get("out", "bpe_tokens"),
+        )
+    return run
+
+
+@register("dsir_select")
+def _dsir_select(p: dict) -> Stage:
+    """DSIR importance resampling (operators/dsir.py): the pipeline frame
+    is the raw pool; the target corpus is referenced by path (same
+    convention as robots_filter). Keeps the ``k`` rows whose hashed-n-gram
+    distribution best matches the target, ∝ exp(log p − log q)."""
+    from hyped_spark.operators.dsir import dsir_select
+
+    def run(df: DataFrame) -> DataFrame:
+        reader = getattr(df.sparkSession.read, p.get("format", "parquet"))
+        target = reader(p["target_path"])
+        return dsir_select(
+            target, df, k=p["k"],
+            id_col=p.get("id_col", "doc_id"),
+            text_col=p.get("text_col", "text"),
+            buckets=p.get("buckets", 10_000),
+            n_max=p.get("n_max", 2),
+            alpha=p.get("alpha", 1.0),
+            seed=p.get("seed", 42),
+            hash_mode=p.get("hash_mode", "xxhash64"),
+        )
+    return run
+
+
 @register("image_features")
 def _image_features(p: dict) -> Stage:
     from hyped_spark.functions.multimodal import decode_image_features

@@ -541,6 +541,45 @@ def main() -> None:
         ("no Python eval", "EvalPython" not in p and "InPandas" not in p),
     ]))
 
+    # DSIR weigh+resample: the corpus-sized path must be map-only (λ rides
+    # one broadcast row, per-doc weight is a native fold), selection is
+    # TakeOrdered — the fits are separate bounded aggregates
+    from hyped_spark.operators.dsir import dsir_resample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+    p = plan_of(dsir_resample(docs, [0.0] * 2048, k=40))
+    sections.append(("dsir_resample (map-only weigh + Gumbel TakeOrdered)", p, [
+        ("no hash-partition exchange", "hashpartitioning" not in p),
+        ("λ rides one broadcast row", "BroadcastNestedLoopJoin" in p),
+        ("top-k is TakeOrdered, no global sort",
+         "TakeOrderedAndProject" in p),
+        ("no Python eval", "EvalPython" not in p and "InPandas" not in p),
+    ]))
+
+    # BPE training round: pair extraction native, aggregate partial+final
+    # over the vocab-sized frame, argmax is a 1-row TakeOrdered
+    from hyped_spark.operators.bpe import (
+        _adjacent_pairs, _initial_repr, _symbols, word_counts,
+    )
+
+    vocab = word_counts(docs).select(
+        _initial_repr(F.col("word")).alias("repr"), "w")
+    rnd = (
+        vocab.select(
+            F.explode(_adjacent_pairs(_symbols(F.col("repr")))).alias("p"),
+            "w")
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("w").alias("cnt"))
+        .orderBy(F.desc("cnt"), "l", "r").limit(1)
+    )
+    p = plan_of(rnd)
+    sections.append(("bpe_train round (vocab-sized argmax, no UDF)", p, [
+        ("partial+final hash agg", p.count("HashAggregate") >= 2),
+        ("argmax is a 1-row TakeOrdered", "TakeOrderedAndProject" in p),
+        ("no Python eval", "EvalPython" not in p and "InPandas" not in p),
+    ]))
+
     # map-only webtext stages: no exchange, and for the native pair no
     # Python either (WARC's codec is the one legitimate Arrow UDF)
     for name, allow_python in [("extract_blocks_docs", False),

@@ -24,6 +24,10 @@ Stages (each one a library operator — this script only chains them):
 6c. perplexity gate [opt]      (--max-ppl X: drop docs above X under a
                                 corpus-fit add-alpha unigram LM)
 7. language filter             (native n-gram language id)
+7b. DSIR selection [opt]       (--dsir-target PATH + --dsir-k K: keep the
+                                K docs whose hashed-n-gram distribution
+                                best matches the target corpus, ∝ the
+                                importance weight — Xie et al. 2023)
 8. stratified sample [opt]     (--sample '{"src":frac,...}': per-source
                                 hash-threshold downsampling)
 9. source mixture weights      (count^alpha tempered mixing)
@@ -109,6 +113,13 @@ def main() -> None:
                          "(FineWeb-style learned filter)")
     ap.add_argument("--min-score", type=float, default=0.5)
     ap.add_argument("--classifier-bias", type=float, default=0.0)
+    ap.add_argument("--dsir-target", default=None, metavar="PATH",
+                    help="parquet corpus of target-domain documents: keep "
+                         "the --dsir-k cleaned docs whose hashed-n-gram "
+                         "distribution best matches it (DSIR importance "
+                         "resampling, Xie et al. 2023)")
+    ap.add_argument("--dsir-k", type=int, default=0)
+    ap.add_argument("--dsir-buckets", type=int, default=10_000)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -254,6 +265,16 @@ def main() -> None:
     d = d.withColumn("lang_guess", lang_id_col(F.col("text"))) \
          .filter(F.col("lang_guess").isin(langs))
     counts["after_lang_filter"] = d.count()
+
+    if args.dsir_target:
+        if args.dsir_k <= 0:
+            raise SystemExit("--dsir-target needs --dsir-k > 0")
+        from hyped_spark.operators.dsir import dsir_select
+
+        target = spark.read.parquet(args.dsir_target)
+        d = dsir_select(target, d, k=args.dsir_k,
+                        buckets=args.dsir_buckets).drop("logw")
+        counts["after_dsir_select"] = d.count()
 
     if args.sample:
         from hyped_spark.operators.curation import stratified_sample

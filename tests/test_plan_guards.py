@@ -192,6 +192,8 @@ def test_collect_sites_are_metadata_sized():
          "per-(batch,bucket) meta: <=n_batches*n_buckets rows"),
         ("plans/spec.py", "wdf.orderBy(wdf.columns[0])",
          "mixture weights: 1 row per source"),
+        ("plans/spec.py", 'mdf.orderBy("rank")',
+         "BPE merge artifact: model-sized"),
         ("streaming/metrics.py", "batch_summary(metrics)",
          "per-micro-batch summary rows"),
         ("lake/iceberg_backend.py", "SHOW TBLPROPERTIES",
@@ -210,6 +212,10 @@ def test_collect_sites_are_metadata_sized():
         ("operators/similarity.py", "train_cap",
          "hash-ranked training sample: bounded by train_cap"),
         ("operators/similarity.py", "F.min(", "per-dim min/max: 1 row"),
+        ("operators/bpe.py", 'orderBy(F.desc("cnt")',
+         "per-round argmax pair: 1 row"),
+        ("operators/dsir.py", 'groupBy("__b")',
+         "hashed-gram bucket counts: <= buckets rows"),
         ("operators/graphs.py", "1-row aggregate: metadata-sized collect",
          "star-CC convergence signature / hyperball register audit: 1 row"),
     ]
