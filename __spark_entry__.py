@@ -1542,6 +1542,22 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select("doc_id", F.round("logw", 6).alias("logw"))
 
 
+def gopher_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality rule bundle (hyped_spark/functions/text.py:
+    gopher_rules_col; Rae et al. 2021 App. A1.1) over documents —
+    word-count bounds, mean word length, symbol/bullet/ellipsis ratios,
+    alphabetic-word fraction, stopword requirement, composite keep
+    verdict. One native struct expression, map-only; every field and the
+    verdict have exact DuckDB twins."""
+    from hyped_spark.functions.text import gopher_rules_col
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        gopher_rules_col(F.col("text"), min_words=20).alias("g"),
+    ).select("doc_id", "g.*")
+
+
 def bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (hyped_spark/operators/bpe.py;
     Sennrich et al. 2016): 12 merge rounds over the documents corpus.
@@ -1879,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_tokens": vocab_top_tokens,
         "dsir_select_docs": dsir_select_docs,
         "bpe_train_docs": bpe_train_docs,
+        "gopher_filter_docs": gopher_filter_docs,
     }
 
 
@@ -2432,6 +2449,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dsir_select_docs": _dsir_select_oracle(),
         "bpe_train_docs": _bpe_train_oracle(),
+        "gopher_filter_docs": _gopher_filter_oracle(),
     }
 
 
@@ -3672,6 +3690,14 @@ def _dsir_select_oracle() -> str:
         SELECT doc_id, round(lw, 6) AS logw FROM scored
         ORDER BY {key} DESC, doc_id LIMIT 40
     """
+
+
+def _gopher_filter_oracle() -> str:
+    from hyped_spark.functions.text import gopher_rules_sql
+
+    fields = gopher_rules_sql("text", min_words=20)
+    cols = ",\n".join(f"{sql} AS {name}" for name, sql in fields.items())
+    return f"SELECT doc_id,\n{cols}\nFROM documents"
 
 
 def _bpe_train_oracle() -> str:

@@ -408,3 +408,153 @@ def extract_blocks_sql(
         f"AND {digits} <= greatest(length(b), 1) * {max_digit_frac!r}), "
         "chr(10) || chr(10)), '')"
     )
+
+
+def gopher_rules_col(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.1,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> Column:
+    """The Gopher document-quality rule bundle (Rae et al. 2021,
+    arXiv:2112.11446 App. A1.1) as ONE native struct column — word-count
+    bounds, mean word length, symbol-to-word ratio (#/ellipsis), bullet-
+    and ellipsis-line fractions, alphabetic-word fraction, and the
+    ≥2-of-8 stopword requirement — plus the composite ``keep`` verdict.
+    (The repetition rules of App. A1.2 are :func:`dup_ngram_frac_col` /
+    :func:`dup_line_frac_col`, deliberately separate: they need token
+    arrays, these need only the raw string.)
+
+    Entirely native expressions (HOF folds + regexp counts), map-only;
+    the displayed fractions are rounded to 4 dp, the ``keep`` flag is
+    computed from the UNROUNDED integer ratios so both engines decide
+    identically. Empty documents fail the word-count bound.
+    """
+    words = F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    nw_safe = F.greatest(n_words, F.lit(1))
+    mean_wl = (
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.length(w))
+        / nw_safe
+    )
+    alpha_frac = (
+        F.size(F.filter(words,
+                        lambda w: F.regexp_count(w, F.lit("[A-Za-z]")) > 0))
+        / nw_safe
+    )
+    sym_ratio = (
+        F.regexp_count(text, F.lit(r"#|\.\.\.|…")) / nw_safe
+    )
+    lines = F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(F.filter(
+            lines,
+            lambda l: F.regexp_count(l, F.lit(r"^\s*[•\-\*‣▪]")) > 0))
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(
+            lines,
+            lambda l: F.regexp_count(l, F.lit(r"(\.\.\.|…)\s*$")) > 0))
+        / n_lines
+    )
+    low = F.lower(text)
+    n_stop = sum(
+        (F.regexp_count(low, F.lit(rf"\b{w}\b")) > 0).cast("int")
+        for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    keep = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+        & (sym_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (n_stop >= min_stopwords)
+    )
+    return F.struct(
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        F.round(sym_ratio, 4).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        n_stop.alias("n_stopwords_present"),
+        keep.alias("keep"),
+    )
+
+
+def gopher_rules_sql(
+    expr: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.1,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> dict[str, str]:
+    """DuckDB twins of the :func:`gopher_rules_col` struct fields, as a
+    dict of bare scalar expressions (alias at the call site; DuckDB
+    structs don't hash-compare cleanly, flat columns do)."""
+    words = (
+        f"list_filter(regexp_split_to_array({expr}, '\\s+'), "
+        "w -> len(w) > 0)"
+    )
+    n_words = f"len({words})"
+    nw_safe = f"greatest({n_words}, 1)"
+    mean_wl = f"(coalesce(list_sum([len(w) FOR w IN {words}]), 0) / {nw_safe})"
+    alpha_frac = (
+        f"(len(list_filter({words}, w -> regexp_matches(w, '[A-Za-z]')))"
+        f" / {nw_safe})"
+    )
+    sym_ratio = (
+        f"(len(regexp_extract_all({expr}, '#|\\.\\.\\.|…')) / {nw_safe})"
+    )
+    lines = (
+        f"list_filter(string_split({expr}, chr(10)), "
+        "l -> len(trim(l)) > 0)"
+    )
+    n_lines = f"greatest(len({lines}), 1)"
+    bullet_frac = (
+        f"(len(list_filter({lines}, "
+        f"l -> regexp_matches(l, '^\\s*[•\\-\\*‣▪]'))) / {n_lines})"
+    )
+    ellipsis_frac = (
+        f"(len(list_filter({lines}, "
+        f"l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) / {n_lines})"
+    )
+    n_stop = " + ".join(
+        f"CAST(regexp_matches(lower({expr}), '\\b{w}\\b') AS INT)"
+        for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    keep = (
+        f"({n_words} >= {min_words} AND {n_words} <= {max_words}"
+        f" AND {mean_wl} >= {min_mean_word_len!r}"
+        f" AND {mean_wl} <= {max_mean_word_len!r}"
+        f" AND {sym_ratio} <= {max_symbol_ratio!r}"
+        f" AND {bullet_frac} <= {max_bullet_frac!r}"
+        f" AND {ellipsis_frac} <= {max_ellipsis_frac!r}"
+        f" AND {alpha_frac} >= {min_alpha_word_frac!r}"
+        f" AND ({n_stop}) >= {min_stopwords})"
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": f"round({mean_wl}, 4)",
+        "alpha_word_frac": f"round({alpha_frac}, 4)",
+        "symbol_word_ratio": f"round({sym_ratio}, 4)",
+        "bullet_line_frac": f"round({bullet_frac}, 4)",
+        "ellipsis_line_frac": f"round({ellipsis_frac}, 4)",
+        "n_stopwords_present": f"({n_stop})",
+        "keep": keep,
+    }

@@ -500,6 +500,28 @@ def _connected_components(p: dict) -> Stage:
     )
 
 
+@register("gopher_rules")
+def _gopher_rules(p: dict) -> Stage:
+    """Gopher quality rule bundle: adds the metric struct (``out``, default
+    'gopher') and, with ``filter=True``, drops rows failing the composite
+    keep verdict."""
+    from hyped_spark.functions.text import gopher_rules_col
+
+    kw = {k: p[k] for k in (
+        "min_words", "max_words", "min_mean_word_len", "max_mean_word_len",
+        "max_symbol_ratio", "max_bullet_frac", "max_ellipsis_frac",
+        "min_alpha_word_frac", "min_stopwords") if k in p}
+
+    def run(df: DataFrame) -> DataFrame:
+        out = p.get("out", "gopher")
+        df = df.withColumn(
+            out, gopher_rules_col(F.col(p.get("text_col", "text")), **kw))
+        if p.get("filter", False):
+            df = df.filter(F.col(out)["keep"])
+        return df
+    return run
+
+
 @register("bpe_encode")
 def _bpe_encode(p: dict) -> Stage:
     """Encode text with learned BPE merges (operators/bpe.py): merges

@@ -74,3 +74,66 @@ def test_extract_blocks_spec_stage(spark):
         "id long, text string")
     out = _REGISTRY["extract_blocks"]({})(df)
     assert out.collect()[0].text.startswith("one real")
+
+
+def test_gopher_rules_fixtures(spark):
+    """Gopher rule bundle (Rae et al. 2021 App. A1.1): each rule tripped
+    by a crafted document, the clean one keeps."""
+    from hyped_spark.functions.text import gopher_rules_col
+
+    clean = ("the quick brown fox jumps over that lazy dog and runs off "
+             "with the bone to have some peace of mind for days") * 1
+    rows = [
+        (0, clean),                                   # keep
+        (1, "short text"),                            # too few words
+        (2, " ".join(["x"] * 30)),                    # mean word len 1 < 3
+        (3, clean + " " + " ".join(["####"] * 10)),   # symbol ratio
+        (4, clean + "\n" + "\n".join(f"• item {i} here" for i in range(9))
+            + "\n" + clean),                          # bullet lines
+        (5, "\n".join([clean] + [f"to be continued {i}..." for i in
+                                 range(3)])),         # ellipsis lines > 0.3
+        (6, " ".join(["1234 5678"] * 15) + " the of"),  # alpha frac < 0.8
+        (7, " ".join(["zorp glib flim blat"] * 8)),   # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in df.select(
+        "id", gopher_rules_col(F.col("text"), min_words=20).alias("g")
+    ).select("id", "g.*").collect()}
+    assert got[0]["keep"] is True
+    assert got[0]["n_stopwords_present"] >= 5
+    for i in range(1, 8):
+        assert got[i]["keep"] is False, i
+    assert got[2]["mean_word_len"] == 1.0
+    assert got[4]["bullet_line_frac"] > 0.1
+    assert got[5]["ellipsis_line_frac"] > 0.3
+    assert got[6]["alpha_word_frac"] < 0.8
+    assert got[7]["n_stopwords_present"] == 0
+
+
+def test_gopher_rules_duckdb_twin(spark):
+    """Every struct field bit-matches the SQL twin on the fixtures."""
+    import duckdb
+
+    from hyped_spark.functions.text import gopher_rules_col, gopher_rules_sql
+
+    rows = [
+        (0, "the quick brown fox and that dog have to be of use with it "
+            "plus • a bullet\nand a line ending in..."),
+        (1, ""),
+        (2, "####\n• x\n…"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = sorted(
+        tuple(r) for r in df.select(
+            "id", gopher_rules_col(F.col("text"), min_words=5).alias("g")
+        ).select("id", "g.*").collect()
+    )
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.execute("CREATE TABLE t (id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    fields = gopher_rules_sql("text", min_words=5)
+    cols = ", ".join(f"{sql} AS {name}" for name, sql in fields.items())
+    want = sorted(tuple(r) for r in
+                  con.execute(f"SELECT id, {cols} FROM t").fetchall())
+    assert got == want
