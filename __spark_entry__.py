@@ -1542,6 +1542,19 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select("doc_id", F.round("logw", 6).alias("logw"))
 
 
+def kmeans_clusters_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means clustering over the embeddings table
+    (hyped_spark/operators/similarity.py: kmeans_cluster) — the IVF
+    coarse quantizer standalone: bounded hash-ranked fit, map-only
+    assignment, per-vector (vec_id, cluster). The oracle replays the
+    whole fit + argmin assignment as the IVF CTE chain."""
+    from hyped_spark.operators.similarity import kmeans_cluster
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return kmeans_cluster(emb, n_clusters=8, n_iters=5) \
+        .select("vec_id", "cluster")
+
+
 def gopher_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher quality rule bundle (hyped_spark/functions/text.py:
     gopher_rules_col; Rae et al. 2021 App. A1.1) over documents —
@@ -1896,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select_docs": dsir_select_docs,
         "bpe_train_docs": bpe_train_docs,
         "gopher_filter_docs": gopher_filter_docs,
+        "kmeans_clusters_emb": kmeans_clusters_emb,
     }
 
 
@@ -2450,6 +2464,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select_docs": _dsir_select_oracle(),
         "bpe_train_docs": _bpe_train_oracle(),
         "gopher_filter_docs": _gopher_filter_oracle(),
+        "kmeans_clusters_emb": _kmeans_oracle(dim=64, n_clusters=8),
     }
 
 
@@ -2994,6 +3009,64 @@ def _ann_ivf_oracle(
                                          ORDER BY cosine DESC, vec_id ASC) AS rank
             FROM scored
         ) WHERE rank <= {k}
+    """
+
+
+def _kmeans_oracle(
+    dim: int = 64,
+    n_clusters: int = 8,
+    n_iters: int = 5,
+    train_cap: int = 100_000,
+) -> str:
+    """DuckDB twin of kmeans_cluster: the _ann_ivf_oracle fit CTE chain
+    (identical hash-ranked sample, init, Lloyd steps with 6-dp rounding)
+    ending at the full-corpus argmin assignment."""
+    h = _H60.format(expr="CAST(vec_id AS VARCHAR)")
+    d2 = ("list_sum(list_transform(list_zip({x}, c.ce), "
+          "z -> (z[1]-z[2])*(z[1]-z[2])))")
+    iters = []
+    for t in range(n_iters):
+        iters.append(f"""
+        a{t} AS (
+            SELECT vec_id, e, cell FROM (
+                SELECT t.vec_id, t.e, c.cell,
+                       row_number() OVER (PARTITION BY t.vec_id
+                                          ORDER BY {d2.format(x='t.e')}, c.cell) AS arn
+                FROM tr t CROSS JOIN c{t} c
+            ) WHERE arn = 1
+        ), m{t} AS (
+            SELECT cell, i, round(avg(e[i]) + 1e-9, 6) AS mv
+            FROM a{t} CROSS JOIN range(1, {dim + 1}) r(i)
+            GROUP BY cell, i
+        ), c{t + 1} AS (
+            SELECT c.cell, coalesce(g.ge, c.ce) AS ce
+            FROM c{t} c LEFT JOIN (
+                SELECT cell, list(mv ORDER BY i) AS ge FROM m{t} GROUP BY cell
+            ) g USING (cell)
+        )""")
+    cfin = f"c{n_iters}"
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), tr AS (
+            SELECT vec_id, e FROM (
+                SELECT vec_id, e,
+                       row_number() OVER (ORDER BY {h}, vec_id) AS rn
+                FROM v
+            ) WHERE rn <= {train_cap}
+        ), c0 AS (
+            SELECT rn - 1 AS cell, list_transform(e, x -> round(x, 6)) AS ce
+            FROM (
+                SELECT e, row_number() OVER (ORDER BY {h}, vec_id) AS rn
+                FROM v
+            ) WHERE rn <= {n_clusters}
+        ),{",".join(iters)}
+        SELECT vec_id, cell AS cluster FROM (
+            SELECT v.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {d2.format(x='v.e')}, c.cell) AS arn
+            FROM v CROSS JOIN {cfin} c
+        ) WHERE arn = 1
     """
 
 

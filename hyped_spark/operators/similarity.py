@@ -392,6 +392,53 @@ def _make_cells_udf(C: np.ndarray, n: int):
     return cells
 
 
+def kmeans_cluster(
+    corpus: DataFrame,
+    n_clusters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_cap: int = 100_000,
+    n_iters: int = 5,
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Deterministic k-means document clustering — the IVF coarse
+    quantizer (:func:`ivf_train_centroids`) exposed standalone, for topic
+    bucketing / mixture construction / per-cluster sampling over an
+    embedding column.
+
+    100 TB shape: the fit is bounded (``train_cap`` hash-ranked rows, one
+    narrow TakeOrdered collect); assignment is map-only — centroids
+    (n_clusters × dim doubles) ride inside the Arrow UDF closure and each
+    vector gains one int. Same determinism contract as IVF (stable
+    argmin, 6-dp centroid rounding), so the whole clustering replays in
+    SQL.
+    """
+    C = ivf_train_centroids(
+        corpus, n_clusters, id_col, vec_col,
+        train_cap=train_cap, n_iters=n_iters,
+    )
+    return spread(corpus).withColumn(
+        out_col, _make_cells_udf(C, 1)(F.col(vec_col))[0]
+    )
+
+
+def kmeans_summary(
+    clustered: DataFrame,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Per-cluster size + mean vector norm (one partial+final agg) —
+    the compact health view a mixture-construction job logs."""
+    return (
+        clustered.groupBy(cluster_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(norm_col(F.col(vec_col))), 6).alias("mean_norm"),
+        )
+        .orderBy(cluster_col)
+    )
+
+
 def build_ivf_sq_index(
     corpus: DataFrame,
     dim: int,

@@ -754,3 +754,22 @@ def test_ivf_pq_topk_quality(spark):
     for r in rows:
         if (r.query_id, r.vec_id) in full:
             assert full[(r.query_id, r.vec_id)] == r.approx_cosine
+
+
+def test_kmeans_cluster_standalone(spark):
+    """kmeans_cluster: deterministic, one cluster id per vector within
+    range, agrees with ivf's own cell assignment semantics, and the
+    summary is one row per non-empty cluster."""
+    from hyped_spark.operators.similarity import kmeans_cluster, kmeans_summary
+
+    emb = _emb(spark)
+    a = kmeans_cluster(emb, n_clusters=8)
+    rows = a.select("vec_id", "cluster").collect()
+    assert len(rows) == emb.count()
+    assert all(0 <= r["cluster"] < 8 for r in rows)
+    again = kmeans_cluster(emb, n_clusters=8).select("vec_id", "cluster")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    s = kmeans_summary(a).collect()
+    assert sum(r["n"] for r in s) == len(rows)
+    assert len(s) == len({r["cluster"] for r in rows})
+    assert all(r["mean_norm"] > 0 for r in s)
