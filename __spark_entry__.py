@@ -1542,6 +1542,21 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select("doc_id", F.round("logw", 6).alias("logw"))
 
 
+def tfidf_vectors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed TF-IDF sparse vectors (hyped_spark/operators/vectorize.py):
+    bucket-sorted (idx, val) arrays per document, L2-normalized — the
+    HashingVectorizer+TfidfTransformer staple feeding clustering/ANN.
+    One (id, bucket) exchange + a broadcast IDF join; md5 mode makes the
+    whole vectorization (counts, smoothed IDF, products, the norm fold)
+    bit-replayable in DuckDB."""
+    from hyped_spark.operators.vectorize import tfidf_vectors
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_vectors(
+        d, buckets=4096, hash_mode="md5", normalize=True
+    ).withColumnRenamed("doc_id", "id")
+
+
 def kmeans_clusters_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means clustering over the embeddings table
     (hyped_spark/operators/similarity.py: kmeans_cluster) — the IVF
@@ -1732,6 +1747,35 @@ def outlinks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def anchor_text_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (hyped_spark/functions/url.py:
+    extract_anchors_col) — the web-search document-expansion signal:
+    anchor strings grouped per TARGET host with reference counts.
+    Synthesized HTML carries two anchors per doc (one with a shared
+    vocabulary term, one doc-specific); aggregation = one (host, anchor)
+    group. Native regexp + zip_with in both engines."""
+    from hyped_spark.functions.url import extract_anchors_col, host_col
+
+    d = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<p><a href="https://site'), (F.col("doc_id") % 7).cast("string"),
+        F.lit('.org/p/'), did, F.lit('">best '),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("spark docs"))
+         .otherwise(F.lit("query engine")),
+        F.lit('</a><a href="https://hub'), (F.col("doc_id") % 3).cast("string"),
+        F.lit('.net/x"> home page </a>'),
+        F.lit('<a href="/rel">skipped relative</a></p>'),
+    )
+    a = d.select(F.explode(extract_anchors_col(html)).alias("a"))
+    return (
+        a.select(host_col(F.col("a.href")).alias("dst_host"),
+                 F.col("a.anchor").alias("anchor"))
+        .groupBy("dst_host", "anchor")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+    )
+
+
 def robots_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt politeness verdicts (hyped_spark/operators/robots.py):
     per-host robots files are synthesized with a per-bot group (must be
@@ -1910,6 +1954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_docs": bpe_train_docs,
         "gopher_filter_docs": gopher_filter_docs,
         "kmeans_clusters_emb": kmeans_clusters_emb,
+        "anchor_text_hosts": anchor_text_hosts,
+        "tfidf_vectors_docs": tfidf_vectors_docs,
     }
 
 
@@ -2465,6 +2511,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train_docs": _bpe_train_oracle(),
         "gopher_filter_docs": _gopher_filter_oracle(),
         "kmeans_clusters_emb": _kmeans_oracle(dim=64, n_clusters=8),
+        "anchor_text_hosts": _anchor_text_oracle(),
+        "tfidf_vectors_docs": _tfidf_oracle(),
     }
 
 
@@ -3771,6 +3819,33 @@ def _gopher_filter_oracle() -> str:
     fields = gopher_rules_sql("text", min_words=20)
     cols = ",\n".join(f"{sql} AS {name}" for name, sql in fields.items())
     return f"SELECT doc_id,\n{cols}\nFROM documents"
+
+
+def _anchor_text_oracle() -> str:
+    from hyped_spark.functions.url import extract_anchors_sql, host_sql
+
+    html = (
+        "'<p><a href=\"https://site' || (doc_id % 7) || '.org/p/' || doc_id"
+        " || '\">best ' || CASE WHEN doc_id % 2 = 0 THEN 'spark docs'"
+        " ELSE 'query engine' END"
+        " || '</a><a href=\"https://hub' || (doc_id % 3)"
+        " || '.net/x\"> home page </a>'"
+        " || '<a href=\"/rel\">skipped relative</a></p>'"
+    )
+    anchors = extract_anchors_sql("html")
+    return f"""
+        WITH h AS (SELECT {html} AS html FROM documents),
+        a AS (SELECT unnest({anchors}) AS a FROM h)
+        SELECT {host_sql("a.href")} AS dst_host, a.anchor AS anchor,
+               CAST(count(*) AS BIGINT) AS n_refs
+        FROM a GROUP BY 1, 2
+    """
+
+
+def _tfidf_oracle() -> str:
+    from hyped_spark.operators.vectorize import tfidf_vectors_sql
+
+    return tfidf_vectors_sql("documents", buckets=4096, normalize=True)
 
 
 def _bpe_train_oracle() -> str:

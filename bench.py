@@ -119,6 +119,14 @@ BENCH_QUERIES = [
     "harmonic_centrality_hosts",
     # round 6: real AVI container parse + frame sample + PNG pixel decode
     "video_frames_docs",
+    # DSIR selection: two hashed-gram fits + map-only weigh + Gumbel top-k
+    "dsir_select_docs",
+    # distributed BPE training: 12 vocab-sized merge rounds
+    "bpe_train_docs",
+    # Gopher rule bundle: one native struct expr, map-only
+    "gopher_filter_docs",
+    # k-means clustering: bounded fit + map-only assignment
+    "kmeans_clusters_emb",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

@@ -199,3 +199,41 @@ def extract_links_sql(html_expr: str, base_expr: str | None = None) -> str:
     return (
         f"list_filter([{resolve} FOR v IN {merged}], x -> x IS NOT NULL)"
     )
+
+
+_ANCHOR_RE = '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def extract_anchors_col(html: Column) -> Column:
+    """(href, anchor-text) pairs from simple ``<a href="...">text</a>``
+    tags — the link-graph signal web search aggregates per target
+    (anchor text describes the TARGET page better than its own content;
+    the classic document-expansion input). Documented subset: double-
+    quoted hrefs, anchor text without nested markup (``[^<]*``) — the
+    same honest-subset policy as robots.py. Two ``regexp_extract_all``
+    passes over the SAME pattern (groups 1 and 2) are alignment-safe
+    because they see identical matches; zip_with pairs them. Map-only,
+    lookaround-free (Java regex ≡ RE2)."""
+    hrefs = F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 1)
+    texts = F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 2)
+    pairs = F.zip_with(
+        hrefs, texts,
+        lambda h, t: F.struct(h.alias("href"), F.trim(t).alias("anchor")),
+    )
+    return F.filter(
+        pairs,
+        lambda p: p["href"].rlike("^https?://") & (p["anchor"] != ""),
+    )
+
+
+def extract_anchors_sql(html_expr: str) -> str:
+    """DuckDB twin of :func:`extract_anchors_col` — a list of
+    (href, anchor) structs."""
+    h = f"regexp_extract_all({html_expr}, '{_ANCHOR_RE}', 1)"
+    t = f"regexp_extract_all({html_expr}, '{_ANCHOR_RE}', 2)"
+    return (
+        "list_filter("
+        f"[struct_pack(href := ({h})[i], anchor := trim(({t})[i])) "
+        f"FOR i IN generate_series(1, len({h}))], "
+        "p -> regexp_matches(p.href, '^https?://') AND p.anchor != '')"
+    )

@@ -500,6 +500,24 @@ def _connected_components(p: dict) -> Stage:
     )
 
 
+@register("tfidf")
+def _tfidf(p: dict) -> Stage:
+    """Hashed TF-IDF sparse vectors: adds bucket-sorted idx/val arrays
+    keyed by ``id_col`` (joins back onto the frame)."""
+    from hyped_spark.operators.vectorize import tfidf_vectors
+
+    def run(df: DataFrame) -> DataFrame:
+        idc = p.get("id_col", "doc_id")
+        vecs = tfidf_vectors(
+            df, id_col=idc, text_col=p.get("text_col", "text"),
+            buckets=p.get("buckets", 1 << 18),
+            hash_mode=p.get("hash_mode", "xxhash64"),
+            normalize=p.get("normalize", False),
+        )
+        return df.join(vecs, idc)
+    return run
+
+
 @register("gopher_rules")
 def _gopher_rules(p: dict) -> Stage:
     """Gopher quality rule bundle: adds the metric struct (``out``, default

@@ -416,3 +416,45 @@ def test_curation_job_url_stage_missing_column(spark, tmp_path, monkeypatch):
     ])
     with pytest.raises(SystemExit, match="url"):
         job.main()
+
+
+def test_tfidf_vectors(spark):
+    """Hashed TF-IDF: totality on empty docs, CSR alignment, numpy-parity
+    of the L2 norm, determinism."""
+    import math
+
+    from hyped_spark.operators.vectorize import tfidf_vectors
+
+    rows = [(1, "the cat the hat"), (2, "a dog"), (3, ""), (4, "the the")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (list(r["idx"]), list(r["val"]))
+           for r in tfidf_vectors(df, buckets=64).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[3] == ([], [])
+    for i, (idx, val) in out.items():
+        assert len(idx) == len(val)
+        assert idx == sorted(idx)
+        assert all(v > 0 for v in val)
+    # 'the' appears in docs 1 and 4 -> lower idf than doc-unique terms
+    # doc 4 is all-'the': its single value = 2 * idf('the')
+    assert len(out[4][0]) == 1
+
+    norm = {r["doc_id"]: list(r["val"]) for r in
+            tfidf_vectors(df, buckets=64, normalize=True).collect()}
+    for i in (1, 2, 4):
+        n = math.sqrt(sum(v * v for v in norm[i]))
+        assert abs(n - 1.0) < 1e-5, (i, n)
+    again = {r["doc_id"]: (list(r["idx"]), list(r["val"]))
+             for r in tfidf_vectors(df, buckets=64).collect()}
+    assert again == out
+
+
+def test_tfidf_spec_stage(spark):
+    from hyped_spark.plans.spec import _REGISTRY
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string")
+    out = _REGISTRY["tfidf"]({"buckets": 32})(df)
+    rows = out.collect()
+    assert {"idx", "val"} <= set(out.columns)
+    assert all(len(r["idx"]) == 2 for r in rows)

@@ -252,3 +252,41 @@ def test_suffix_match_randomized_vs_python_reference(spark):
         ).collect()
     }
     assert lit == expected
+
+
+def test_extract_anchors_fixtures(spark):
+    """(href, anchor) extraction: absolute links kept with trimmed text,
+    relative/fragment/empty-anchor dropped; SQL twin bit-matches."""
+    import duckdb
+
+    from hyped_spark.functions.url import extract_anchors_col, extract_anchors_sql
+
+    rows = [
+        (1, '<a href="https://a.com/x">Click Here</a>'
+            '<a href="/rel">rel</a><a href="#f">frag</a>'
+            '<a href="http://b.net/y">  padded  </a>'
+            '<a href="https://c.org/z"></a>'),
+        (2, "no links at all"),
+        (3, '<a class="big" href="https://d.io/p" id="l"> Styled </a>'),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    got = {r["id"]: [(p["href"], p["anchor"]) for p in r["a"]]
+           for r in df.select(
+               "id", extract_anchors_col(F.col("html")).alias("a")
+           ).collect()}
+    assert got[1] == [("https://a.com/x", "Click Here"),
+                      ("http://b.net/y", "padded")]
+    assert got[2] == []
+    assert got[3] == [("https://d.io/p", "Styled")]
+
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.execute("CREATE TABLE t (id BIGINT, html VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        i: [(p["href"], p["anchor"]) for p in a]
+        for i, a in con.execute(
+            f"SELECT id, {extract_anchors_sql('html')} FROM t"
+        ).fetchall()
+    }
+    assert got == want
