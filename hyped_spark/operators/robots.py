@@ -15,8 +15,14 @@ parser agrees on:
 - a URL's verdict comes from the LONGEST matching prefix; on a length
   tie Allow wins; no matching rule ⇒ allowed.
 
-Out of scope (documented): ``*``/``$`` wildcards, ``Crawl-delay``,
-per-bot groups other than ``*``.
+- ``*`` in a rule value matches any character sequence; a trailing ``$``
+  anchors the match at the path end (the Google REP wildcard extension);
+  a mid-pattern ``$`` is literal. Specificity stays "longest rule value
+  wins" (Google's implementation ranks by pattern length). Wildcard-free
+  rules keep the plain prefix fast path.
+
+Out of scope (documented): ``Crawl-delay``, per-bot groups other than
+``*``.
 
 Scale shape: robots files exist per HOST, not per page — ``parse_robots``
 explodes lines and resolves groups with two same-partition windows (ONE
@@ -116,10 +122,28 @@ def robots_filter(
         host_col(F.col(url_col)).alias("host"),
         url_path_col(F.col(url_col)).alias("__path"),
     )
+    # wildcard rules compile to anchored regexes ON THE RULES SIDE (one
+    # row per rule, not per candidate pair); plain prefixes keep the
+    # startswith fast path. Trailing $ anchors; mid-pattern $ is literal.
+    anchor = F.col("prefix").rlike(r"\$$")
+    body = F.when(
+        anchor, F.expr("substring(prefix, 1, length(prefix) - 1)")
+    ).otherwise(F.col("prefix"))
+    esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    rx = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchor, F.lit("$")).otherwise(F.lit("")),
+    )
+    rules = rules.withColumn(
+        "__wild", F.col("prefix").contains("*") | anchor
+    ).withColumn("__re", rx)
     r = F.broadcast(rules) if broadcast_rules else rules
     cand = p.join(r, "host", "left").filter(
         F.col("prefix").isNull()
-        | F.col("__path").startswith(F.col("prefix"))
+        | F.when(F.col("__wild"),
+                 F.regexp_like(F.col("__path"), F.col("__re")))
+        .otherwise(F.col("__path").startswith(F.col("prefix")))
     )
     w = Window.partitionBy("__u").orderBy(
         F.length(F.coalesce(F.col("prefix"), F.lit(""))).desc(),
@@ -190,14 +214,29 @@ def robots_verdict_sql(
                    OVER (PARTITION BY host, g) AS s
             FROM grp
         ),
-        rules AS (
+        rules0 AS (
             SELECT host, al AS allow, v AS prefix
             FROM star WHERE rule AND g > 0 AND s = 1 AND v != ''
+        ),
+        rules AS (
+            SELECT host, allow, prefix,
+                   (contains(prefix, '*') OR prefix LIKE '%$') AS wild,
+                   '^' || replace(regexp_replace(
+                       CASE WHEN prefix LIKE '%$'
+                            THEN substr(prefix, 1, length(prefix) - 1)
+                            ELSE prefix END,
+                       '([.^$+?(){{}}\\[\\]|\\\\])', '\\\\\\1', 'g'),
+                       '*', '.*')
+                   || CASE WHEN prefix LIKE '%$' THEN '$' ELSE '' END AS re
+            FROM rules0
         ),
         cand AS (
             SELECT pg.url, rules.allow, rules.prefix
             FROM pg LEFT JOIN rules
-              ON pg.host = rules.host AND starts_with(pg.path, rules.prefix)
+              ON pg.host = rules.host AND
+                 CASE WHEN rules.wild
+                      THEN regexp_matches(pg.path, rules.re)
+                      ELSE starts_with(pg.path, rules.prefix) END
         ),
         verdict AS (
             SELECT url, coalesce(allow, true) AS {flag_col}

@@ -113,6 +113,11 @@ def main() -> None:
                          "(FineWeb-style learned filter)")
     ap.add_argument("--min-score", type=float, default=0.5)
     ap.add_argument("--classifier-bias", type=float, default=0.0)
+    ap.add_argument("--gopher", action="store_true",
+                    help="apply the full Gopher rule bundle (Rae et al. "
+                         "2021 A1.1) as a keep/drop gate after the "
+                         "heuristic quality gate")
+    ap.add_argument("--gopher-min-words", type=int, default=50)
     ap.add_argument("--dsir-target", default=None, metavar="PATH",
                     help="parquet corpus of target-domain documents: keep "
                          "the --dsir-k cleaned docs whose hashed-n-gram "
@@ -242,6 +247,14 @@ def main() -> None:
                 & (F.col("dup_3gram_frac") <= args.max_dup_3gram))
     )
     counts["after_quality_gate"] = d.count()
+
+    if args.gopher:
+        from hyped_spark.functions.text import gopher_rules_col
+
+        d = (d.withColumn("__g", gopher_rules_col(
+                F.col("text"), min_words=args.gopher_min_words))
+             .filter(F.col("__g")["keep"]).drop("__g"))
+        counts["after_gopher_gate"] = d.count()
 
     if args.classifier_weights:
         from hyped_spark.operators.classify import linear_text_score

@@ -148,3 +148,72 @@ def test_robots_filter_join_shapes(spark):
         == sorted(map(tuple,
                       robots_filter(pages, _rules(spark),
                                     broadcast_rules=True).collect()))
+
+
+WILD_RB = "\n".join([
+    "User-agent: *",
+    "Disallow: /*.pdf$",      # any .pdf path, end-anchored
+    "Disallow: /dl/*/raw",    # mid wildcard
+    "Allow: /dl/pub*",        # longer pattern wins over /dl/*/raw? no -
+                              # /dl/*/raw (9) > /dl/pub* (8): Disallow wins
+    "Disallow: /a$b",         # mid $ is LITERAL
+])
+
+
+def _wild_rules(spark):
+    robots = spark.createDataFrame(
+        [("w.org", WILD_RB)], "host string, robots_txt string")
+    return parse_robots(robots)
+
+
+def test_wildcard_verdicts(spark):
+    pages = spark.createDataFrame(
+        [
+            (0, "https://w.org/docs/file.pdf"),     # *.pdf$ -> blocked
+            (1, "https://w.org/docs/file.pdfx"),    # $ anchor -> allowed
+            (2, "https://w.org/dl/v1/raw"),         # mid * -> blocked
+            (3, "https://w.org/dl/pub/raw"),        # 9-char Disallow beats
+                                                    # 8-char Allow
+            (4, "https://w.org/dl/pubzzz"),         # Allow prefix, no /raw
+            (5, "https://w.org/a$b/x"),             # literal $ -> blocked
+            (6, "https://w.org/ab/x"),              # not the literal $ path
+        ],
+        "id long, url string",
+    )
+    got = {r.id: r.allowed
+           for r in robots_filter(pages, _wild_rules(spark)).collect()}
+    assert got == {0: False, 1: True, 2: False, 3: False, 4: True,
+                   5: False, 6: True}
+
+
+def test_wildcard_sql_twin_parity(spark):
+    """The DuckDB twin agrees on every wildcard fixture verdict."""
+    import duckdb
+
+    from hyped_spark.operators.robots import robots_verdict_sql
+
+    urls = [
+        "https://w.org/docs/file.pdf", "https://w.org/docs/file.pdfx",
+        "https://w.org/dl/v1/raw", "https://w.org/dl/pub/raw",
+        "https://w.org/dl/pubzzz", "https://w.org/a$b/x",
+        "https://w.org/ab/x", "https://w.org/",
+    ]
+    pages = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["url"]: r["allowed"]
+           for r in robots_filter(pages, _wild_rules(spark)).collect()}
+
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.execute("CREATE TABLE rbt (host VARCHAR, robots_txt VARCHAR)")
+    con.execute("INSERT INTO rbt VALUES ('w.org', ?)", [WILD_RB])
+    con.execute("CREATE TABLE pages_t (url VARCHAR)")
+    con.executemany("INSERT INTO pages_t VALUES (?)", [(u,) for u in urls])
+    sql = robots_verdict_sql(
+        "SELECT host, robots_txt FROM rbt",
+        "SELECT url, 'w.org' AS host, "
+        "coalesce(nullif(regexp_extract(url, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^#]*)?', 1), ''), '/') "
+        "AS path FROM pages_t",
+    )
+    want = dict(con.execute(sql).fetchall())
+    assert got == want
