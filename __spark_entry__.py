@@ -1542,6 +1542,18 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select("doc_id", F.round("logw", 6).alias("logw"))
 
 
+def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signal (hyped_spark/operators/curation.py:
+    token_entropy): per-document Shannon entropy of the unigram
+    distribution — two ids-only exchanges with map-side combine. Full
+    SQL twin (the one-pass log2 identity is shared, so rounding at 6 dp
+    absorbs summation-order noise in both engines)."""
+    from hyped_spark.operators.curation import token_entropy
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_entropy(d)
+
+
 def tfidf_vectors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed TF-IDF sparse vectors (hyped_spark/operators/vectorize.py):
     bucket-sorted (idx, val) arrays per document, L2-normalized — the
@@ -1956,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters_emb": kmeans_clusters_emb,
         "anchor_text_hosts": anchor_text_hosts,
         "tfidf_vectors_docs": tfidf_vectors_docs,
+        "token_entropy_docs": token_entropy_docs,
     }
 
 
@@ -2513,6 +2526,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters_emb": _kmeans_oracle(dim=64, n_clusters=8),
         "anchor_text_hosts": _anchor_text_oracle(),
         "tfidf_vectors_docs": _tfidf_oracle(),
+        "token_entropy_docs": _token_entropy_oracle(),
     }
 
 
@@ -3840,6 +3854,12 @@ def _anchor_text_oracle() -> str:
                CAST(count(*) AS BIGINT) AS n_refs
         FROM a GROUP BY 1, 2
     """
+
+
+def _token_entropy_oracle() -> str:
+    from hyped_spark.operators.curation import token_entropy_sql
+
+    return token_entropy_sql("documents")
 
 
 def _tfidf_oracle() -> str:

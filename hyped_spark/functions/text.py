@@ -558,3 +558,30 @@ def gopher_rules_sql(
         "n_stopwords_present": f"({n_stop})",
         "keep": keep,
     }
+
+
+def compression_ratio_udf():
+    """Arrow-vectorized zlib compression ratio: ``len(deflate(utf8)) /
+    len(utf8)`` at level 6 — the RedPajama/Dolma-style gibberish signal
+    (highly repetitive or machine-generated text compresses far below
+    natural prose; random noise compresses above it). Deterministic for a
+    given zlib (the container pins one), but NOT SQL-expressible — so the
+    op ships with unit-test evidence instead of a DuckDB oracle (same
+    policy as the multimodal codecs). Empty/None text → None.
+
+    Map-only: pandas_udf over the text column, stdlib zlib, no state.
+    """
+    import zlib
+
+    @F.pandas_udf(T.DoubleType())
+    def ratio(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if not t:
+                out.append(None)
+                continue
+            b = t.encode("utf-8")
+            out.append(round(len(zlib.compress(b, 6)) / len(b), 6))
+        return pd.Series(out, dtype="float64")
+
+    return ratio

@@ -474,3 +474,74 @@ def cap_per_domain_sql(
             FROM {table} t
         ) WHERE __rn <= {k}
     """
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the unigram distribution —
+    the lexical-diversity quality signal: near-0 for degenerate repetition
+    ("spam spam spam"), ~log2(n) for all-distinct text. Complements the
+    Gopher repetition fractions (those catch structured duplication, this
+    catches low-diversity gibberish).
+
+    Shape: explode → (id, token) count → per-id entropy agg — two
+    exchanges carrying (id, hash-sized) pairs only, map-side combined.
+    Output: (id_col, n_tokens, entropy) with entropy rounded to 6 dp;
+    empty documents get entropy 0.0 with n_tokens 0.
+    """
+    from hyped_spark.functions.hashing import tokens_col
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("__t")
+    )
+    counts = toks.groupBy(id_col, "__t").agg(
+        F.count(F.lit(1)).alias("__c"))
+    ent = counts.groupBy(id_col).agg(
+        F.sum("__c").alias("n_tokens"),
+        # H = log2(n) - sum(c*log2(c))/n  (one pass, no per-row n join)
+        F.round(
+            (F.log2(F.sum("__c"))
+             - F.sum(F.col("__c") * F.log2("__c")) / F.sum("__c")),
+            6,
+        ).alias("entropy"),
+    )
+    return (
+        df.select(id_col).join(ent, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
+        )
+    )
+
+
+def token_entropy_sql(
+    table: str, id_expr: str = "doc_id", text_expr: str = "text"
+) -> str:
+    """DuckDB twin of :func:`token_entropy`."""
+    toks = (
+        f"list_filter(regexp_split_to_array(lower({text_expr}), "
+        f"'[^\\p{{L}}\\p{{N}}]+'), t -> len(t) > 0)"
+    )
+    return f"""
+        WITH tk AS (
+            SELECT {id_expr} AS __id, unnest({toks}) AS t FROM {table}
+        ),
+        c AS (
+            SELECT __id, t, CAST(count(*) AS BIGINT) AS c FROM tk
+            GROUP BY __id, t
+        ),
+        e AS (
+            SELECT __id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6)
+                   AS entropy
+            FROM c GROUP BY __id
+        )
+        SELECT d.{id_expr} AS {id_expr},
+               coalesce(e.n_tokens, 0) AS n_tokens,
+               coalesce(e.entropy, 0.0) AS entropy
+        FROM {table} d LEFT JOIN e ON d.{id_expr} = e.__id
+    """

@@ -458,3 +458,49 @@ def test_tfidf_spec_stage(spark):
     rows = out.collect()
     assert {"idx", "val"} <= set(out.columns)
     assert all(len(r["idx"]) == 2 for r in rows)
+
+
+def test_token_entropy(spark):
+    """Shannon-entropy diversity signal: degenerate repetition -> 0,
+    all-distinct -> log2(n); DuckDB twin bit-matches."""
+    import duckdb
+    import math
+
+    from hyped_spark.operators.curation import token_entropy, token_entropy_sql
+
+    rows = [(1, "spam spam spam spam"), (2, "a b c d"),
+            (3, ""), (4, "x x y y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["entropy"])
+           for r in token_entropy(df).collect()}
+    assert got[1] == (4, 0.0)
+    assert got[2] == (4, pytest.approx(math.log2(4)))
+    assert got[3] == (0, 0.0)
+    assert got[4] == (4, pytest.approx(1.0))
+
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.execute("CREATE TABLE docs_t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs_t VALUES (?, ?)", rows)
+    want = {r[0]: (r[1], r[2]) for r in
+            con.execute(token_entropy_sql("docs_t")).fetchall()}
+    assert got == want
+
+
+def test_compression_ratio(spark):
+    """zlib ratio: repetition compresses low, diverse prose higher;
+    None/empty -> None; deterministic."""
+    from hyped_spark.functions.text import compression_ratio_udf
+
+    rows = [(1, "spam " * 500), (2, None), (3, ""),
+            (4, "the quick brown fox jumps over the lazy dog " * 3)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    ratio = compression_ratio_udf()
+    got = {r["id"]: r["r"] for r in
+           df.select("id", ratio(F.col("text")).alias("r")).collect()}
+    assert got[2] is None and got[3] is None
+    assert got[1] < 0.02              # 2500 bytes of pure repetition
+    assert 0.02 < got[4] < 0.8
+    again = {r["id"]: r["r"] for r in
+             df.select("id", ratio(F.col("text")).alias("r")).collect()}
+    assert got == again
