@@ -127,6 +127,12 @@ BENCH_QUERIES = [
     "gopher_filter_docs",
     # k-means clustering: bounded fit + map-only assignment
     "kmeans_clusters_emb",
+    # per-doc Shannon entropy (two ids-only exchanges)
+    "token_entropy_docs",
+    # hashed TF-IDF sparse vectors (one (id,bucket) exchange + broadcast IDF)
+    "tfidf_vectors_docs",
+    # anchor-text aggregation (map-only extract + one group)
+    "anchor_text_hosts",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)
