@@ -29,19 +29,12 @@ from pyspark.sql import functions as F
 from hyped_spark.functions.hashing import h64_col, h64_sql, tokens_col
 
 
-def tfidf_vectors(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    buckets: int = 1 << 18,
-    hash_mode: str = "xxhash64",
-    normalize: bool = False,
+def _hashed_tf(
+    df: DataFrame, id_col: str, text_col: str, buckets: int,
+    hash_mode: str,
 ) -> DataFrame:
-    """(id, idx array<int>, val array<double>) — bucket-sorted sparse
-    hashed TF-IDF rows. Empty documents yield empty arrays."""
-    n_docs = df.count()  # 1-row metadata (the corpus size in the IDF)
     toks = tokens_col(F.col(text_col))
-    tf = (
+    return (
         df.select(F.col(id_col), F.explode(toks).alias("__t"))
         .select(
             id_col,
@@ -51,17 +44,69 @@ def tfidf_vectors(
         .groupBy(id_col, "__b")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
-    idf = (
-        tf.groupBy("__b")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .select(
-            "__b",
-            F.round(
-                F.log((F.lit(float(n_docs + 1))) / (F.col("__df") + 1))
-                + 1.0,
-                8,
-            ).alias("__idf"),
-        )
+
+
+def hashed_df_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1 << 18,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Per-bucket document-frequency counts ``(__b, __df)`` — the
+    corpus-level IDF state. ADDITIVE over disjoint document sets (each
+    doc contributes ≤1 per bucket), so a persisted counts table updates
+    with :func:`merge_df_counts` per ingested batch and the corpus is
+    never re-tokenized — the CDC-composable featurization state, exactly
+    the ``build_minhash_index``/``incremental_minhash_dedup`` contract."""
+    return (
+        _hashed_tf(df, id_col, text_col, buckets, hash_mode)
+        .groupBy("__b").agg(F.count(F.lit(1)).alias("__df"))
+    )
+
+
+def merge_df_counts(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold a delta's DF counts into the stored state (one bounded agg —
+    at most ``buckets`` rows per side)."""
+    return (
+        a.unionByName(b)
+        .groupBy("__b").agg(F.sum("__df").alias("__df"))
+    )
+
+
+def tfidf_vectors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1 << 18,
+    hash_mode: str = "xxhash64",
+    normalize: bool = False,
+    idf_counts: DataFrame | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """(id, idx array<int>, val array<double>) — bucket-sorted sparse
+    hashed TF-IDF rows. Empty documents yield empty arrays.
+
+    Pass ``idf_counts`` (a :func:`hashed_df_counts` frame, possibly
+    merged across many ingested batches) + ``n_docs`` to score a DELTA
+    against corpus-level statistics without rescanning the corpus — the
+    incremental path; omitted, both are computed from ``df`` (batch
+    mode). Batch and incremental agree exactly when the counts cover the
+    same corpus (test_curation pins this equivalence)."""
+    if (idf_counts is None) != (n_docs is None):
+        raise ValueError("pass idf_counts and n_docs together")
+    tf = _hashed_tf(df, id_col, text_col, buckets, hash_mode)
+    if idf_counts is None:
+        n_docs = df.count()  # 1-row metadata (corpus size in the IDF)
+        idf_counts = tf.groupBy("__b").agg(
+            F.count(F.lit(1)).alias("__df"))
+    idf = idf_counts.select(
+        "__b",
+        F.round(
+            F.log((F.lit(float(n_docs + 1))) / (F.col("__df") + 1))
+            + 1.0,
+            8,
+        ).alias("__idf"),
     )
     pairs = (
         tf.join(F.broadcast(idf), "__b")

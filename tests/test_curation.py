@@ -504,3 +504,38 @@ def test_compression_ratio(spark):
     again = {r["id"]: r["r"] for r in
              df.select("id", ratio(F.col("text")).alias("r")).collect()}
     assert got == again
+
+
+def test_tfidf_incremental_idf_state(spark):
+    """CDC-composable featurization: DF counts are additive over disjoint
+    batches, and scoring a delta against stored corpus stats equals the
+    batch run over the whole corpus."""
+    from hyped_spark.operators.vectorize import (
+        hashed_df_counts,
+        merge_df_counts,
+        tfidf_vectors,
+    )
+
+    rows = [(i, t) for i, t in enumerate([
+        "the cat sat", "the dog ran", "a cat and a dog", "the end",
+        "cats and dogs everywhere", "the the the"])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    half_a = df.filter("doc_id < 3")
+    half_b = df.filter("doc_id >= 3")
+
+    whole = hashed_df_counts(df, buckets=64)
+    merged = merge_df_counts(hashed_df_counts(half_a, buckets=64),
+                             hashed_df_counts(half_b, buckets=64))
+    assert sorted(map(tuple, whole.collect())) \
+        == sorted(map(tuple, merged.collect()))
+
+    batch = {r["doc_id"]: (list(r["idx"]), list(r["val"]))
+             for r in tfidf_vectors(df, buckets=64).collect()}
+    inc = {r["doc_id"]: (list(r["idx"]), list(r["val"]))
+           for r in tfidf_vectors(
+               half_b, buckets=64, idf_counts=merged, n_docs=6).collect()}
+    for i in (3, 4, 5):
+        assert inc[i] == batch[i], i
+
+    with pytest.raises(ValueError):
+        tfidf_vectors(df, idf_counts=merged)
