@@ -580,6 +580,31 @@ def main() -> None:
         ("no Python eval", "EvalPython" not in p and "InPandas" not in p),
     ]))
 
+    # TF-IDF: the IDF side must come back as a BROADCAST join (bounded by
+    # buckets), the per-doc regroup is the only other exchange family
+    from hyped_spark.operators.vectorize import tfidf_vectors
+
+    p = plan_of(tfidf_vectors(docs, buckets=4096))
+    sections.append(("tfidf_vectors (broadcast IDF, ids-only exchanges)", p, [
+        ("IDF joined back broadcast", "BroadcastHashJoin" in p),
+        ("no cartesian", "CartesianProduct" not in p),
+        ("no Python eval", "EvalPython" not in p and "InPandas" not in p),
+        ("partial+final tf agg", p.count("HashAggregate") >= 2),
+    ]))
+
+    # token entropy: two ids-only exchanges, both aggs partial+final
+    from hyped_spark.operators.curation import token_entropy
+
+    p = plan_of(token_entropy(docs))
+    sections.append(("token_entropy (ids-only exchanges)", p, [
+        ("no cartesian", "CartesianProduct" not in p),
+        ("no Python eval", "EvalPython" not in p and "InPandas" not in p),
+        ("map-side combined aggs", p.count("HashAggregate") >= 2),
+        ("payload text never shuffles",
+         not any("text" in a for a in
+                 re.findall(r"\(\d+\) Exchange\n(.*?)\n\n", p, re.S))),
+    ]))
+
     # map-only webtext stages: no exchange, and for the native pair no
     # Python either (WARC's codec is the one legitimate Arrow UDF)
     for name, allow_python in [("extract_blocks_docs", False),

@@ -124,3 +124,26 @@ def test_training_loop_plan_stays_small(spark, docs):
     got = bpe_train(docs, num_merges=25)
     want = ref_bpe(CORPUS, 25)
     assert [(m["lhs"], m["rhs"], m["weight"]) for m in got] == want
+
+
+def test_hypothesis_random_corpora_match_reference(spark):
+    """Property: on random small corpora over a tiny alphabet (maximal
+    merge-collision pressure), the distributed trainer equals the
+    single-machine reference for every merge."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+    corpus = st.lists(
+        st.lists(word, min_size=1, max_size=6).map(" ".join),
+        min_size=1, max_size=5,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(corpus)
+    def check(texts):
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = bpe_train(df, num_merges=4)
+        want = ref_bpe(texts, 4)
+        assert [(m["lhs"], m["rhs"], m["weight"]) for m in got] == want
+
+    check()
