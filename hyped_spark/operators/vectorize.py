@@ -23,6 +23,8 @@ both engines, so the norm is bit-identical too.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -108,13 +110,22 @@ def tfidf_vectors(
             8,
         ).alias("__idf"),
     )
+    # LEFT join: a delta bucket the stored corpus stats never saw (df=0)
+    # must get the smoothed unseen-bucket IDF, not vanish from the vector
+    # (only reachable in incremental mode; batch counts cover every
+    # bucket by construction)
+    unseen_idf = round(math.log(n_docs + 1.0) + 1.0, 8)
     pairs = (
-        tf.join(F.broadcast(idf), "__b")
+        tf.join(F.broadcast(idf), "__b", "left")
         .select(
             id_col,
             F.struct(
                 F.col("__b").alias("b"),
-                F.round(F.col("__tf") * F.col("__idf"), 6).alias("v"),
+                F.round(
+                    F.col("__tf")
+                    * F.coalesce("__idf", F.lit(unseen_idf)),
+                    6,
+                ).alias("v"),
             ).alias("__p"),
         )
         .groupBy(id_col)

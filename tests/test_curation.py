@@ -584,3 +584,22 @@ def test_curation_job_dsir_and_gopher_flags(spark, tmp_path, monkeypatch):
     assert counts["after_dsir_select"] <= 25
     curated = spark.read.parquet(f"{out}/curated")
     assert curated.count() <= 25
+
+
+def test_tfidf_incremental_unseen_bucket(spark):
+    """A delta token whose bucket the stored stats never saw must keep a
+    vector entry with the smoothed df=0 IDF, not silently vanish."""
+    import math
+
+    from hyped_spark.operators.vectorize import hashed_df_counts, tfidf_vectors
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string")
+    counts = hashed_df_counts(corpus, buckets=4096)
+    delta = spark.createDataFrame(
+        [(3, "zzzznovelword alpha")], "doc_id long, text string")
+    out = tfidf_vectors(delta, buckets=4096, idf_counts=counts,
+                        n_docs=2).collect()[0]
+    assert len(out["idx"]) == 2  # both tokens present
+    unseen = round(math.log(3.0) + 1.0, 8)
+    assert round(unseen, 6) in [round(v, 6) for v in out["val"]]
