@@ -3006,45 +3006,10 @@ def _ann_ivf_oracle(
     because both engines compute from identically rounded centroids; the
     only divergence channel is float summation order, orders of magnitude
     below the 6-dp rounding and the distance gaps of random embeddings."""
-    h = _H60.format(expr="CAST(vec_id AS VARCHAR)")
-    d2 = "list_sum(list_transform(list_zip({x}, c.ce), z -> (z[1]-z[2])*(z[1]-z[2])))"
-    iters = []
-    for t in range(n_iters):
-        iters.append(f"""
-        a{t} AS (
-            SELECT vec_id, e, cell FROM (
-                SELECT t.vec_id, t.e, c.cell,
-                       row_number() OVER (PARTITION BY t.vec_id
-                                          ORDER BY {d2.format(x='t.e')}, c.cell) AS arn
-                FROM tr t CROSS JOIN c{t} c
-            ) WHERE arn = 1
-        ), m{t} AS (
-            SELECT cell, i, round(avg(e[i]) + 1e-9, 6) AS mv
-            FROM a{t} CROSS JOIN range(1, {dim + 1}) r(i)
-            GROUP BY cell, i
-        ), c{t + 1} AS (
-            SELECT c.cell, coalesce(g.ge, c.ce) AS ce
-            FROM c{t} c LEFT JOIN (
-                SELECT cell, list(mv ORDER BY i) AS ge FROM m{t} GROUP BY cell
-            ) g USING (cell)
-        )""")
-    cfin = f"c{n_iters}"
+    d2 = _IVF_D2
+    body, cfin = _ivf_fit_ctes(dim, n_lists, n_iters, train_cap)
     return f"""
-        WITH v AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-        ), tr AS (
-            SELECT vec_id, e FROM (
-                SELECT vec_id, e,
-                       row_number() OVER (ORDER BY {h}, vec_id) AS rn
-                FROM v
-            ) WHERE rn <= {train_cap}
-        ), c0 AS (
-            SELECT rn - 1 AS cell, list_transform(e, x -> round(x, 6)) AS ce
-            FROM (
-                SELECT e, row_number() OVER (ORDER BY {h}, vec_id) AS rn
-                FROM v
-            ) WHERE rn <= {n_lists}
-        ),{",".join(iters)}, ccell AS (
+        WITH {body}, ccell AS (
             SELECT vec_id, e, cell FROM (
                 SELECT v.vec_id, v.e, c.cell,
                        row_number() OVER (PARTITION BY v.vec_id
@@ -3074,18 +3039,19 @@ def _ann_ivf_oracle(
     """
 
 
-def _kmeans_oracle(
-    dim: int = 64,
-    n_clusters: int = 8,
-    n_iters: int = 5,
-    train_cap: int = 100_000,
-) -> str:
-    """DuckDB twin of kmeans_cluster: the _ann_ivf_oracle fit CTE chain
-    (identical hash-ranked sample, init, Lloyd steps with 6-dp rounding)
-    ending at the full-corpus argmin assignment."""
+_IVF_D2 = ("list_sum(list_transform(list_zip({x}, c.ce), "
+           "z -> (z[1]-z[2])*(z[1]-z[2])))")
+
+
+def _ivf_fit_ctes(
+    dim: int, n_lists: int, n_iters: int, train_cap: int
+) -> tuple[str, str]:
+    """The deterministic IVF/k-means fit as a CTE-chain fragment shared by
+    _ann_ivf_oracle and _kmeans_oracle (one copy of the replay-critical
+    details: hash-ranked sample, 6-dp init, Lloyd steps with the 1e-9
+    boundary nudge, argmin cell tie-break). Returns (cte_body, final_cte)
+    — cte_body starts with ``v AS (...)`` and ends with ``c{n_iters}``."""
     h = _H60.format(expr="CAST(vec_id AS VARCHAR)")
-    d2 = ("list_sum(list_transform(list_zip({x}, c.ce), "
-          "z -> (z[1]-z[2])*(z[1]-z[2])))")
     iters = []
     for t in range(n_iters):
         iters.append(f"""
@@ -3093,7 +3059,7 @@ def _kmeans_oracle(
             SELECT vec_id, e, cell FROM (
                 SELECT t.vec_id, t.e, c.cell,
                        row_number() OVER (PARTITION BY t.vec_id
-                                          ORDER BY {d2.format(x='t.e')}, c.cell) AS arn
+                                          ORDER BY {_IVF_D2.format(x='t.e')}, c.cell) AS arn
                 FROM tr t CROSS JOIN c{t} c
             ) WHERE arn = 1
         ), m{t} AS (
@@ -3106,9 +3072,7 @@ def _kmeans_oracle(
                 SELECT cell, list(mv ORDER BY i) AS ge FROM m{t} GROUP BY cell
             ) g USING (cell)
         )""")
-    cfin = f"c{n_iters}"
-    return f"""
-        WITH v AS (
+    body = f"""v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         ), tr AS (
             SELECT vec_id, e FROM (
@@ -3121,12 +3085,26 @@ def _kmeans_oracle(
             FROM (
                 SELECT e, row_number() OVER (ORDER BY {h}, vec_id) AS rn
                 FROM v
-            ) WHERE rn <= {n_clusters}
-        ),{",".join(iters)}
+            ) WHERE rn <= {n_lists}
+        ),{",".join(iters)}"""
+    return body, f"c{n_iters}"
+
+
+def _kmeans_oracle(
+    dim: int = 64,
+    n_clusters: int = 8,
+    n_iters: int = 5,
+    train_cap: int = 100_000,
+) -> str:
+    """DuckDB twin of kmeans_cluster: the shared IVF fit CTE chain ending
+    at the full-corpus argmin assignment."""
+    body, cfin = _ivf_fit_ctes(dim, n_clusters, n_iters, train_cap)
+    return f"""
+        WITH {body}
         SELECT vec_id, cell AS cluster FROM (
             SELECT v.vec_id, c.cell,
                    row_number() OVER (PARTITION BY v.vec_id
-                                      ORDER BY {d2.format(x='v.e')}, c.cell) AS arn
+                                      ORDER BY {_IVF_D2.format(x='v.e')}, c.cell) AS arn
             FROM v CROSS JOIN {cfin} c
         ) WHERE arn = 1
     """

@@ -417,7 +417,7 @@ def gopher_rules_col(
     min_mean_word_len: float = 3.0,
     max_mean_word_len: float = 10.0,
     max_symbol_ratio: float = 0.1,
-    max_bullet_frac: float = 0.1,
+    max_bullet_frac: float = 0.9,
     max_ellipsis_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_stopwords: int = 2,
@@ -436,7 +436,12 @@ def gopher_rules_col(
     computed from the UNROUNDED integer ratios so both engines decide
     identically. Empty documents fail the word-count bound.
     """
-    words = F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0)
+    # explicit whitespace class: Java's \s includes \x0B, RE2's does not —
+    # spelling it out keeps the DuckDB twin bit-exact on pasted-PDF text
+    words = F.filter(
+        F.split(text, "[ \\t\\n\\x0B\\f\\r]+"),
+        lambda w: F.length(w) > 0,
+    )
     n_words = F.size(words)
     nw_safe = F.greatest(n_words, F.lit(1))
     mean_wl = (
@@ -457,13 +462,15 @@ def gopher_rules_col(
     bullet_frac = (
         F.size(F.filter(
             lines,
-            lambda l: F.regexp_count(l, F.lit(r"^\s*[•\-\*‣▪]")) > 0))
+            lambda l: F.regexp_count(
+                l, F.lit("^[ \\t\\x0B\\f\\r]*[•\\-\\*‣▪]")) > 0))
         / n_lines
     )
     ellipsis_frac = (
         F.size(F.filter(
             lines,
-            lambda l: F.regexp_count(l, F.lit(r"(\.\.\.|…)\s*$")) > 0))
+            lambda l: F.regexp_count(
+                l, F.lit("(\\.\\.\\.|…)[ \\t\\x0B\\f\\r]*$")) > 0))
         / n_lines
     )
     low = F.lower(text)
@@ -499,7 +506,7 @@ def gopher_rules_sql(
     min_mean_word_len: float = 3.0,
     max_mean_word_len: float = 10.0,
     max_symbol_ratio: float = 0.1,
-    max_bullet_frac: float = 0.1,
+    max_bullet_frac: float = 0.9,
     max_ellipsis_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_stopwords: int = 2,
@@ -507,8 +514,9 @@ def gopher_rules_sql(
     """DuckDB twins of the :func:`gopher_rules_col` struct fields, as a
     dict of bare scalar expressions (alias at the call site; DuckDB
     structs don't hash-compare cleanly, flat columns do)."""
+    ws = "[ \\t\\n\\x0B\\f\\r]"  # explicit: RE2 \s lacks \x0B, Java has it
     words = (
-        f"list_filter(regexp_split_to_array({expr}, '\\s+'), "
+        f"list_filter(regexp_split_to_array({expr}, '{ws}+'), "
         "w -> len(w) > 0)"
     )
     n_words = f"len({words})"
@@ -526,13 +534,14 @@ def gopher_rules_sql(
         "l -> len(trim(l)) > 0)"
     )
     n_lines = f"greatest(len({lines}), 1)"
+    lws = "[ \\t\\x0B\\f\\r]"
     bullet_frac = (
         f"(len(list_filter({lines}, "
-        f"l -> regexp_matches(l, '^\\s*[•\\-\\*‣▪]'))) / {n_lines})"
+        f"l -> regexp_matches(l, '^{lws}*[•\\-\\*‣▪]'))) / {n_lines})"
     )
     ellipsis_frac = (
         f"(len(list_filter({lines}, "
-        f"l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) / {n_lines})"
+        f"l -> regexp_matches(l, '(\\.\\.\\.|…){lws}*$'))) / {n_lines})"
     )
     n_stop = " + ".join(
         f"CAST(regexp_matches(lower({expr}), '\\b{w}\\b') AS INT)"

@@ -156,21 +156,24 @@ def fit_hashed_gram_dist_sql(
     SELECT producing one row ``(arr)`` — the ordered ``buckets``-length
     log-prob list. Compose inside a WITH clause."""
     grams = hashed_gram_buckets_sql(text_expr, buckets, n_max=n_max)
+    # the total is the sum of the bucket counts already computed — a
+    # second tokenize+hash pass over the corpus would double the oracle's
+    # dominant cost. The WITH is nested (scoped to this subquery), so two
+    # fits composing in one outer query don't collide on __gc/__gt.
     return f"""
+        WITH __gc AS (
+            SELECT b, count(*) AS c FROM (
+                SELECT unnest({grams}) AS b FROM ({corpus_sql})
+            ) GROUP BY b
+        ),
+        __gt AS (SELECT coalesce(sum(c), 0) AS total FROM __gc)
         SELECT list(
             round(ln((coalesce(c.c, 0) + {alpha!r})
                      / (ct.total + {alpha!r} * {buckets})), 8)
             ORDER BY g.b) AS arr
         FROM generate_series(0, {buckets - 1}) g(b)
-        LEFT JOIN (
-            SELECT b, count(*) AS c FROM (
-                SELECT unnest({grams}) AS b FROM ({corpus_sql})
-            ) GROUP BY b
-        ) c ON g.b = c.b
-        CROSS JOIN (
-            SELECT coalesce(sum(len({grams})), 0) AS total
-            FROM ({corpus_sql})
-        ) ct
+        LEFT JOIN __gc c ON g.b = c.b
+        CROSS JOIN __gt ct
     """
 
 

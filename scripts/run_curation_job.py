@@ -126,6 +126,10 @@ def main() -> None:
     ap.add_argument("--dsir-k", type=int, default=0)
     ap.add_argument("--dsir-buckets", type=int, default=10_000)
     args = ap.parse_args()
+    # fail BEFORE the pipeline runs (every stage materializes a count —
+    # a late flag error would waste the whole job)
+    if args.dsir_target and args.dsir_k <= 0:
+        raise SystemExit("--dsir-target needs --dsir-k > 0")
 
     from pyspark.sql import functions as F
 
@@ -280,8 +284,6 @@ def main() -> None:
     counts["after_lang_filter"] = d.count()
 
     if args.dsir_target:
-        if args.dsir_k <= 0:
-            raise SystemExit("--dsir-target needs --dsir-k > 0")
         from hyped_spark.operators.dsir import dsir_select
 
         target = spark.read.parquet(args.dsir_target)

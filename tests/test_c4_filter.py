@@ -88,8 +88,8 @@ def test_gopher_rules_fixtures(spark):
         (1, "short text"),                            # too few words
         (2, " ".join(["x"] * 30)),                    # mean word len 1 < 3
         (3, clean + " " + " ".join(["####"] * 10)),   # symbol ratio
-        (4, clean + "\n" + "\n".join(f"• item {i} here" for i in range(9))
-            + "\n" + clean),                          # bullet lines
+        (4, "\n".join(f"• the item of {i} here and that" for i in range(19))
+            + "\n" + clean),                          # >90% bullet lines
         (5, "\n".join([clean] + [f"to be continued {i}..." for i in
                                  range(3)])),         # ellipsis lines > 0.3
         (6, " ".join(["1234 5678"] * 15) + " the of"),  # alpha frac < 0.8
@@ -104,7 +104,8 @@ def test_gopher_rules_fixtures(spark):
     for i in range(1, 8):
         assert got[i]["keep"] is False, i
     assert got[2]["mean_word_len"] == 1.0
-    assert got[4]["bullet_line_frac"] > 0.1
+    # Gopher A1.1: the bullet rule trips only ABOVE 90% of lines
+    assert got[4]["bullet_line_frac"] > 0.9
     assert got[5]["ellipsis_line_frac"] > 0.3
     assert got[6]["alpha_word_frac"] < 0.8
     assert got[7]["n_stopwords_present"] == 0
@@ -121,6 +122,9 @@ def test_gopher_rules_duckdb_twin(spark):
             "plus • a bullet\nand a line ending in..."),
         (1, ""),
         (2, "####\n• x\n…"),
+        # \x0B between words: Java \s would split it, RE2 \s would not —
+        # the explicit whitespace class keeps both engines identical
+        (3, "alpha\x0bbeta the of and to be that have with more words"),
     ]
     df = spark.createDataFrame(rows, "id long, text string")
     got = sorted(
