@@ -959,6 +959,24 @@ def lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity(d, lm)
 
 
+def ccnet_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus partition (hyped_spark/operators/
+    lm.py: ppl_partition; Wenzek et al. 2020): exact perplexity terciles
+    over the fitted unigram LM, labels assigned by a native CASE against
+    two broadcast cutoffs. The oracle wraps the full LM fit+score replay
+    with quantile_cont cutoffs — the whole CCNet pipeline stage in SQL."""
+    from hyped_spark.operators.lm import (
+        fit_unigram_lm,
+        lm_perplexity,
+        ppl_partition,
+    )
+
+    d = _load(spark, sf_dir, "documents")
+    lm = fit_unigram_lm(d, vocab_size=20, alpha=0.5)
+    scored = lm_perplexity(d, lm).select("doc_id", "perplexity")
+    return ppl_partition(scored)
+
+
 def image_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing under oracle: blobs synthesized from text bytes
     run through the REAL decode_image_features mapInPandas stage (explicit
@@ -1969,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_hosts": anchor_text_hosts,
         "tfidf_vectors_docs": tfidf_vectors_docs,
         "token_entropy_docs": token_entropy_docs,
+        "ccnet_buckets_docs": ccnet_buckets_docs,
     }
 
 
@@ -2527,6 +2546,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_hosts": _anchor_text_oracle(),
         "tfidf_vectors_docs": _tfidf_oracle(),
         "token_entropy_docs": _token_entropy_oracle(),
+        "ccnet_buckets_docs": _ccnet_buckets_oracle(),
     }
 
 
@@ -3637,6 +3657,14 @@ def _lm_oracle(vocab_size: int = 20, alpha: float = 0.5) -> str:
                round(exp(-slp / n_tokens), 4) AS perplexity
         FROM scored
     """
+
+
+def _ccnet_buckets_oracle() -> str:
+    from hyped_spark.operators.lm import ppl_partition_sql
+
+    scored = (f"WITH __s AS ({_lm_oracle(vocab_size=20, alpha=0.5)}) "
+              "SELECT doc_id, perplexity FROM __s")
+    return ppl_partition_sql(scored)
 
 
 def _bm25_oracle(prune: bool = False) -> str:

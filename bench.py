@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "tfidf_vectors_docs",
     # anchor-text aggregation (map-only extract + one group)
     "anchor_text_hosts",
+    # CCNet head/middle/tail: LM fit+score + quantile cutoffs + CASE
+    "ccnet_buckets_docs",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

@@ -118,3 +118,70 @@ def lm_perplexity(
         F.round(h, 4).alias("cross_entropy"),
         F.round(F.exp(h), 4).alias("perplexity"),
     )
+
+
+def ppl_partition(
+    scored: DataFrame,
+    ppl_col: str = "perplexity",
+    fractions: tuple = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple = ("head", "middle", "tail"),
+    bucket_col: str = "ppl_bucket",
+    round_dp: int = 6,
+) -> DataFrame:
+    """CCNet's corpus partition (Wenzek et al. 2020): label every document
+    head / middle / tail by exact perplexity quantiles — LOW perplexity
+    (most natural under the LM) is the head. ``len(labels)`` must be
+    ``len(fractions) + 1``.
+
+    The cutoffs come from ONE exact percentile aggregate (sort-based,
+    deterministic — order statistics carry no float sum-order noise),
+    rounded to ``round_dp`` and broadcast as a 1-row frame; labeling is a
+    native CASE — the corpus never shuffles. Both engines compute the
+    same interpolated cutoffs from the same rounded perplexities, so the
+    split replays exactly in SQL.
+    """
+    if len(labels) != len(fractions) + 1:
+        raise ValueError("need len(labels) == len(fractions) + 1")
+    arr = F.array(*[F.lit(float(f)) for f in fractions])
+    cuts = scored.agg(
+        F.percentile(F.col(ppl_col), arr).alias("__c")
+    ).select(*[
+        F.round(F.element_at("__c", i + 1), round_dp).alias(f"__c{i}")
+        for i in range(len(fractions))
+    ])
+    out = scored.crossJoin(F.broadcast(cuts))
+    expr = F.lit(labels[-1])
+    for i in range(len(fractions) - 1, -1, -1):
+        expr = F.when(
+            F.col(ppl_col) <= F.col(f"__c{i}"), F.lit(labels[i])
+        ).otherwise(expr)
+    return out.withColumn(bucket_col, expr).drop(
+        *[f"__c{i}" for i in range(len(fractions))]
+    )
+
+
+def ppl_partition_sql(
+    scored_sql: str,
+    ppl_expr: str = "perplexity",
+    fractions: tuple = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple = ("head", "middle", "tail"),
+    bucket_col: str = "ppl_bucket",
+    round_dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`ppl_partition`: wraps a scored subquery (may
+    itself start with WITH — nested CTEs are scoped) with quantile_cont
+    cutoffs and the identical CASE ladder. Returns
+    ``SELECT *, bucket FROM ...`` over the scored columns."""
+    cuts = ", ".join(
+        f"round(quantile_cont({ppl_expr}, {f!r}), {round_dp}) AS __c{i}"
+        for i, f in enumerate(fractions)
+    )
+    case = f"'{labels[-1]}'"
+    for i in range(len(fractions) - 1, -1, -1):
+        case = (f"CASE WHEN {ppl_expr} <= __c{i} THEN '{labels[i]}' "
+                f"ELSE {case} END")
+    return f"""
+        WITH __base AS ({scored_sql}),
+        __cuts AS (SELECT {cuts} FROM __base)
+        SELECT __base.*, {case} AS {bucket_col} FROM __base, __cuts
+    """

@@ -99,3 +99,26 @@ def test_lm_score_stage_roundtrip(spark):
     keep = {i for i, (_, _, ppl) in exp.items() if ppl <= 10.0}
     assert {r.doc_id for r in rows} == keep
     assert rows and {"text", "cross_entropy", "perplexity"} <= set(rows[0].asDict())
+
+
+def test_ppl_partition_terciles(spark):
+    """CCNet head/middle/tail: lowest-perplexity third labeled head,
+    labels validated, exact-quantile boundary behavior deterministic."""
+    from hyped_spark.operators.lm import ppl_partition
+
+    scored = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 10)],
+        "doc_id long, perplexity double")
+    out = {r["doc_id"]: r["ppl_bucket"]
+           for r in ppl_partition(scored).collect()}
+    assert [out[i] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ppl_partition(scored, labels=("a", "b"))
+
+    # custom split: a single median cutoff
+    out2 = {r["doc_id"]: r["ppl_bucket"] for r in ppl_partition(
+        scored, fractions=(0.5,), labels=("keep", "drop")).collect()}
+    assert sum(1 for v in out2.values() if v == "keep") == 5
