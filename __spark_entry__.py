@@ -1806,6 +1806,25 @@ def anchor_text_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def frontier_schedule_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness scheduling (hyped_spark/operators/
+    curation.py: schedule_frontier): synthesized per-doc URLs across 13
+    hosts, md5-hash fetch order within host, 20-deep per-host cap, 1.5 s
+    politeness delay. One host-keyed exchange, map-side WindowGroupLimit;
+    completes the outlinks → robots → frontier crawl stack."""
+    from hyped_spark.operators.curation import schedule_frontier
+
+    d = _load(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(F.lit("https://crawl"),
+                 (F.col("doc_id") % 13).cast("string"),
+                 F.lit(".org/p/"), F.col("doc_id").cast("string"))
+        .alias("url"))
+    out = schedule_frontier(urls, per_host_delay_s=1.5, max_per_host=20,
+                            hash_mode="md5")
+    return out.select("url", "host", "slot", "scheduled_offset_s")
+
+
 def robots_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt politeness verdicts (hyped_spark/operators/robots.py):
     per-host robots files are synthesized with a per-bot group (must be
@@ -1988,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_vectors_docs": tfidf_vectors_docs,
         "token_entropy_docs": token_entropy_docs,
         "ccnet_buckets_docs": ccnet_buckets_docs,
+        "frontier_schedule_docs": frontier_schedule_docs,
     }
 
 
@@ -2547,6 +2567,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_vectors_docs": _tfidf_oracle(),
         "token_entropy_docs": _token_entropy_oracle(),
         "ccnet_buckets_docs": _ccnet_buckets_oracle(),
+        "frontier_schedule_docs": _frontier_schedule_oracle(),
     }
 
 
@@ -3665,6 +3686,15 @@ def _ccnet_buckets_oracle() -> str:
     scored = (f"WITH __s AS ({_lm_oracle(vocab_size=20, alpha=0.5)}) "
               "SELECT doc_id, perplexity FROM __s")
     return ppl_partition_sql(scored)
+
+
+def _frontier_schedule_oracle() -> str:
+    from hyped_spark.operators.curation import schedule_frontier_sql
+
+    urls = ("SELECT 'https://crawl' || (doc_id % 13) || '.org/p/' || doc_id"
+            " AS url FROM documents")
+    return schedule_frontier_sql(urls, per_host_delay_s=1.5,
+                                 max_per_host=20)
 
 
 def _bm25_oracle(prune: bool = False) -> str:

@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "anchor_text_hosts",
     # CCNet head/middle/tail: LM fit+score + quantile cutoffs + CASE
     "ccnet_buckets_docs",
+    # frontier politeness slots (one host exchange, WindowGroupLimit cap)
+    "frontier_schedule_docs",
 ]
 
 # CDC replay sizing per sf dir (events, urls, batch_lsns)

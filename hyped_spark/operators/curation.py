@@ -545,3 +545,79 @@ def token_entropy_sql(
                coalesce(e.entropy, 0.0) AS entropy
         FROM {table} d LEFT JOIN e ON d.{id_expr} = e.__id
     """
+
+
+def schedule_frontier(
+    urls: DataFrame,
+    url_col: str = "url",
+    priority_col: str | None = None,
+    per_host_delay_s: float = 1.0,
+    max_per_host: int = 0,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling: order fetches per host
+    (highest ``priority_col`` first; deterministic hash order without
+    one), assign each its host-local ``slot`` and the earliest polite
+    fetch time ``scheduled_offset_s = slot * per_host_delay_s``.
+    ``max_per_host > 0`` caps a host's queue (the cap_per_domain rule at
+    frontier time — Spark executes it as a map-side WindowGroupLimit).
+
+    One exchange keyed by host; no global sort — the scheduler that
+    consumes this orders within whatever partition grain it fetches.
+    Completes the crawl stack: outlinks feed it, robots_filter gates it,
+    this sequences it.
+    """
+    from hyped_spark.functions.hashing import h64_col
+    from hyped_spark.functions.url import host_col
+
+    u = urls.withColumn("host", host_col(F.col(url_col)))
+    if priority_col is not None:
+        order = [F.col(priority_col).desc(), F.col(url_col)]
+    else:
+        order = [h64_col(F.col(url_col), hash_mode), F.col(url_col)]
+    w = Window.partitionBy("host").orderBy(*order)
+    # filter on the RAW row_number: the `<= k` shape is what Catalyst's
+    # InferWindowGroupLimit recognizes (slot = rn - 1 arithmetic first
+    # would forfeit the map-side drop)
+    out = u.withColumn("__rn", F.row_number().over(w))
+    if max_per_host > 0:
+        out = out.filter(F.col("__rn") <= max_per_host)
+    return (
+        out.withColumn("slot", F.col("__rn") - 1).drop("__rn")
+        .withColumn(
+            "scheduled_offset_s",
+            F.round(F.col("slot") * F.lit(float(per_host_delay_s)), 6),
+        )
+    )
+
+
+def schedule_frontier_sql(
+    urls_sql: str,
+    url_expr: str = "url",
+    priority_expr: str | None = None,
+    per_host_delay_s: float = 1.0,
+    max_per_host: int = 0,
+) -> str:
+    """DuckDB twin of :func:`schedule_frontier` (md5 order mode when no
+    priority)."""
+    from hyped_spark.functions.hashing import h64_sql
+    from hyped_spark.functions.url import host_sql
+
+    if priority_expr is not None:
+        order = f"{priority_expr} DESC, {url_expr}"
+    else:
+        order = f"{h64_sql(url_expr)}, {url_expr}"
+    cap = f"WHERE slot < {max_per_host}" if max_per_host > 0 else ""
+    return f"""
+        WITH u AS (
+            SELECT *, {host_sql(url_expr)} AS host FROM ({urls_sql})
+        ),
+        s AS (
+            SELECT *, row_number() OVER (PARTITION BY host
+                                         ORDER BY {order}) - 1 AS slot
+            FROM u
+        )
+        SELECT *, round(slot * CAST({per_host_delay_s!r} AS DOUBLE), 6)
+               AS scheduled_offset_s
+        FROM s {cap}
+    """

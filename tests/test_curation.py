@@ -603,3 +603,35 @@ def test_tfidf_incremental_unseen_bucket(spark):
     assert len(out["idx"]) == 2  # both tokens present
     unseen = round(math.log(3.0) + 1.0, 8)
     assert round(unseen, 6) in [round(v, 6) for v in out["val"]]
+
+
+def test_schedule_frontier(spark):
+    """Politeness scheduling: per-host slots dense from 0, priority order
+    respected, cap enforced map-side, offsets = slot * delay."""
+    import io
+    from contextlib import redirect_stdout
+
+    from hyped_spark.operators.curation import schedule_frontier
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 2}.org/p{i}", float(i)) for i in range(10)],
+        "url string, prio double")
+    out = schedule_frontier(urls, priority_col="prio",
+                            per_host_delay_s=2.0, max_per_host=3)
+    rows = out.collect()
+    assert len(rows) == 6  # 2 hosts x cap 3
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, rs in by_host.items():
+        rs.sort(key=lambda r: r["slot"])
+        assert [r["slot"] for r in rs] == [0, 1, 2]
+        # highest priority gets slot 0
+        prios = [r["prio"] for r in rs]
+        assert prios == sorted(prios, reverse=True)
+        assert all(r["scheduled_offset_s"] == r["slot"] * 2.0 for r in rs)
+    # the cap is a map-side WindowGroupLimit in the plan
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()

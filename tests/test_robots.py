@@ -217,3 +217,46 @@ def test_wildcard_sql_twin_parity(spark):
     )
     want = dict(con.execute(sql).fetchall())
     assert got == want
+
+
+def test_wildcard_translation_fuzz(spark):
+    """Property: the rules-side regex translation matches a direct Python
+    reference matcher (escape + '*'→'.*' + optional end anchor) for random
+    patterns and paths over a hostile alphabet (regex metachars, dots,
+    dollars)."""
+    import re as _re
+
+    from hypothesis import given, settings, strategies as st
+
+    alpha = "ab/.*$?+()"
+    pattern = st.text(alphabet=alpha, min_size=1, max_size=8)
+    path = st.text(alphabet=alpha, min_size=0, max_size=10).map(
+        lambda s: "/" + s)
+
+    def ref_match(pat: str, p: str) -> bool:
+        anchor = pat.endswith("$")
+        body = pat[:-1] if anchor else pat
+        rx = "".join(".*" if ch == "*" else _re.escape(ch) for ch in body)
+        rx = "^" + rx + ("$" if anchor else "")
+        return _re.search(rx, p) is not None
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.tuples(pattern, path), min_size=1, max_size=8))
+    def check(cases):
+        rules = spark.createDataFrame(
+            [("h", False, pat) for pat, _ in cases],
+            "host string, allow boolean, prefix string",
+        ).dropDuplicates(["prefix"])
+        pages = spark.createDataFrame(
+            [(f"https://h{p}",) for _, p in cases],
+            "url string",
+        ).dropDuplicates()
+        got = {r["url"]: r["allowed"]
+               for r in robots_filter(pages, rules).collect()}
+        pats = {pat for pat, _ in cases}
+        for _, p in cases:
+            # page allowed iff NO disallow pattern matches its path
+            want = not any(ref_match(pat, p) for pat in pats)
+            assert got[f"https://h{p}"] == want, (p, pats)
+
+    check()
