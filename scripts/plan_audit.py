@@ -605,6 +605,25 @@ def main() -> None:
                  re.findall(r"\(\d+\) Exchange\n(.*?)\n\n", p, re.S))),
     ]))
 
+    # frontier scheduling: per-host cap must survive as a map-side
+    # WindowGroupLimit; exactly one hash exchange (host)
+    p = plan_of(q["frontier_schedule_docs"](spark, SF))
+    sections.append(("frontier_schedule_docs (map-side capped window)", p, [
+        ("per-host cap is WindowGroupLimit", "WindowGroupLimit" in p),
+        ("no Python eval", "EvalPython" not in p and "InPandas" not in p),
+        ("no cartesian", "CartesianProduct" not in p),
+    ]))
+
+    # CCNet buckets: cutoffs ride ONE broadcast row; no corpus re-sort
+    p = plan_of(q["ccnet_buckets_docs"](spark, SF))
+    sections.append(("ccnet_buckets_docs (broadcast quantile cutoffs)", p, [
+        ("cutoffs broadcast (nested-loop over 1 row)",
+         "BroadcastNestedLoopJoin" in p),
+        ("no cartesian", "CartesianProduct" not in p),
+        ("labeling adds no extra global sort",
+         p.count("(1) Sort") == 0),
+    ]))
+
     # map-only webtext stages: no exchange, and for the native pair no
     # Python either (WARC's codec is the one legitimate Arrow UDF)
     for name, allow_python in [("extract_blocks_docs", False),
