@@ -65,6 +65,23 @@ def tokens_col(text: Column) -> Column:
     )
 
 
+def let_col(value: Column, body) -> Column:
+    """Bind ``value`` once per row and evaluate ``body(bound)`` — the
+    let-binding trick: ``transform(array(value), v -> body(v))[0]``.
+
+    Why it exists: Catalyst performs no loop-invariant hoisting or common-
+    subexpression elimination inside higher-order-function lambdas, so an
+    expression like ``transform(starts, i -> f(slice(tokens, i, n)))``
+    re-evaluates the whole ``tokens`` subtree (a regex split) for EVERY
+    element, and a body referencing ``tokens`` k times evaluates it k
+    times per row. Routing the shared subtree through a single-element
+    ``transform`` turns it into a lambda variable — computed once per row,
+    referenced many times. Measured 3-4× on the md5 shingle pass at sf0.1
+    (the tokenizer ran once per *shingle* instead of once per document).
+    """
+    return F.transform(F.array(value), body)[0]
+
+
 def shingles_col(tokens: Column, n: int = 3, hash_mode: str = "xxhash64") -> Column:
     """n-gram shingles of a token array, hashed to int64 (native).
 
@@ -78,35 +95,52 @@ def shingles_col(tokens: Column, n: int = 3, hash_mode: str = "xxhash64") -> Col
     modulo 2^-64 collisions. ``md5`` (oracle) mode keeps literal
     md5-of-gram-string hashing so the DuckDB twin reproduces values
     bit-for-bit.
+
+    Both modes bind the token array (and the per-token hash array) ONCE
+    per row via :func:`let_col` — without the binding the tokenizer regex
+    re-ran per shingle / per fold step (guide §1.2 "per-task work";
+    measured 3-4× on the md5 pass at sf0.1).
     """
-    n_tokens = F.size(tokens)
     if hash_mode == "xxhash64":
-        th = F.transform(tokens, lambda t: F.xxhash64(t))
-        g = th
-        for j in range(1, n):
-            g = F.zip_with(
-                g,
-                F.slice(th, j + 1, F.greatest(n_tokens - j, F.lit(0))),
-                lambda a, b: F.xxhash64(a, b),
+        def body(toks: Column) -> Column:
+            n_tokens = F.size(toks)
+
+            def fold(th: Column) -> Column:
+                g = th
+                for j in range(1, n):
+                    g = F.zip_with(
+                        g,
+                        F.slice(th, j + 1, F.greatest(n_tokens - j, F.lit(0))),
+                        lambda a, b: F.xxhash64(a, b),
+                    )
+                return F.slice(
+                    g, 1, F.greatest(n_tokens - (n - 1), F.lit(0))
+                )
+
+            return F.when(
+                n_tokens >= n,
+                let_col(F.transform(toks, lambda t: F.xxhash64(t)), fold),
+            ).otherwise(
+                # short docs: whole doc is one shingle
+                F.array(h64_col(F.concat_ws(" ", toks), hash_mode))
             )
-        grams = F.when(
-            n_tokens >= n, F.slice(g, 1, F.greatest(n_tokens - (n - 1), F.lit(0)))
-        ).otherwise(
-            # short docs: whole doc is one shingle
-            F.array(h64_col(F.concat_ws(" ", tokens), hash_mode))
+
+        return F.array_distinct(let_col(tokens, body))
+
+    def body_md5(toks: Column) -> Column:
+        n_tokens = F.size(toks)
+        starts = F.sequence(
+            F.lit(0), F.greatest(n_tokens - n, F.lit(0)), F.lit(1)
         )
-        return F.array_distinct(grams)
-    starts = F.sequence(
-        F.lit(0), F.greatest(n_tokens - n, F.lit(0)), F.lit(1)
-    )
-    grams = F.when(n_tokens >= n, F.transform(
-        starts,
-        lambda i: h64_col(F.concat_ws(" ", F.slice(tokens, i + 1, n)), hash_mode),
-    )).otherwise(
-        # short docs: whole doc is one shingle
-        F.array(h64_col(F.concat_ws(" ", tokens), hash_mode))
-    )
-    return F.array_distinct(grams)
+        return F.when(n_tokens >= n, F.transform(
+            starts,
+            lambda i: h64_col(F.concat_ws(" ", F.slice(toks, i + 1, n)), hash_mode),
+        )).otherwise(
+            # short docs: whole doc is one shingle
+            F.array(h64_col(F.concat_ws(" ", toks), hash_mode))
+        )
+
+    return F.array_distinct(let_col(tokens, body_md5))
 
 
 def positional_gram_hashes_col(
@@ -124,29 +158,47 @@ def positional_gram_hashes_col(
     materialized); ``md5`` mode hashes literal gram strings so DuckDB can
     replay values bit-for-bit.
     """
-    n_tokens = F.size(tokens)
     if hash_mode == "xxhash64":
-        th = F.transform(tokens, lambda t: F.xxhash64(t))
-        g = th
-        for j in range(1, n):
-            g = F.zip_with(
-                g,
-                F.slice(th, j + 1, F.greatest(n_tokens - j, F.lit(0))),
-                lambda a, b: F.xxhash64(a, b),
-            )
-        # zip_with pads to the longer side; only the first size-(n-1)
-        # entries are complete n-grams (empty when size < n)
-        return F.slice(g, 1, F.greatest(n_tokens - (n - 1), F.lit(0)))
+        def body(toks: Column) -> Column:
+            n_tokens = F.size(toks)
+
+            def fold(th: Column) -> Column:
+                g = th
+                for j in range(1, n):
+                    g = F.zip_with(
+                        g,
+                        F.slice(th, j + 1, F.greatest(n_tokens - j, F.lit(0))),
+                        lambda a, b: F.xxhash64(a, b),
+                    )
+                # zip_with pads to the longer side; only the first
+                # size-(n-1) entries are complete n-grams (empty when
+                # size < n)
+                return F.slice(
+                    g, 1, F.greatest(n_tokens - (n - 1), F.lit(0))
+                )
+
+            return let_col(F.transform(toks, lambda t: F.xxhash64(t)), fold)
+
+        return let_col(tokens, body)
     if hash_mode != "md5":
         raise ValueError(f"unknown hash_mode: {hash_mode!r}")
-    starts = F.sequence(F.lit(0), F.greatest(n_tokens - n, F.lit(0)), F.lit(1))
-    return F.when(
-        n_tokens >= n,
-        F.transform(
-            starts,
-            lambda i: h64_col(F.concat_ws(" ", F.slice(tokens, i + 1, n)), "md5"),
-        ),
-    ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+
+    def body_md5(toks: Column) -> Column:
+        n_tokens = F.size(toks)
+        starts = F.sequence(
+            F.lit(0), F.greatest(n_tokens - n, F.lit(0)), F.lit(1)
+        )
+        return F.when(
+            n_tokens >= n,
+            F.transform(
+                starts,
+                lambda i: h64_col(
+                    F.concat_ws(" ", F.slice(toks, i + 1, n)), "md5"
+                ),
+            ),
+        ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+
+    return let_col(tokens, body_md5)
 
 
 def minhash_signature_col(shingles: Column, k: int = 64, seed: int = 42) -> Column:

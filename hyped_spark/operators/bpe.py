@@ -77,12 +77,19 @@ def _symbols(repr_col: Column) -> Column:
 
 
 def _adjacent_pairs(syms: Column) -> Column:
-    pairs = F.zip_with(
-        syms,
-        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-    )
-    return F.filter(pairs, lambda p: p["r"].isNotNull())
+    # bind the symbol array once per row: the zip_with references it twice
+    # and syms is itself a split+filter (let_col: see hashing.let_col)
+    from hyped_spark.functions.hashing import let_col
+
+    def body(s: Column) -> Column:
+        pairs = F.zip_with(
+            s,
+            F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        return F.filter(pairs, lambda p: p["r"].isNotNull())
+
+    return let_col(syms, body)
 
 
 def bpe_train(

@@ -89,10 +89,19 @@ def minhash_lsh_pairs(
     ×n_bands explode (payload duplicated ×16 into the shuffle, both sides);
     at sf0.1 that was 15.1s → this shape is the fix (VERDICT r1 #2).
 
-    Shingles are recomputed for the join-back projections instead of cached:
-    recompute is a map-side projection over the doc scan, while caching
-    would pin the working set — recompute wins at scale and measures faster
-    here too.
+    The (id, shingles) projection is MATERIALIZED once (eager
+    localCheckpoint) and reused by the band build and both verification
+    join-backs: the dataflow references it four times, and Spark physical
+    plans duplicate shared subtrees — the round-6 plan ran the tokenize +
+    gram-hash pipeline over the corpus FOUR times (twice through the band
+    self-join, once per verification side). Storing the shingle proxy once
+    and re-reading it is the guide-§8 "fingerprints-only pass" shape: the
+    proxy (≈8 B/shingle, comparable to the text itself) is written to
+    local block storage once instead of paying the gram-hash CPU ×4. The
+    banded (id, band, bhash) frame is likewise materialized so the 64-
+    permutation signature fold runs once, not once per self-join side
+    (measured at sf0.1: 2.6 s → 1.0 s warm; the md5 oracle twin gains the
+    most because its per-gram hash is the expensive one).
     """
     rows_per_band = n_hashes // n_bands
     # project narrow BEFORE spread: column pruning does not push through a
@@ -100,7 +109,9 @@ def minhash_lsh_pairs(
     shing = with_shingles(
         spread(df.select(F.col(id_col), F.col(text_col))),
         text_col, shingle_n, hash_mode,
-    ).select(F.col(id_col).alias("id"), "__shingles")
+    ).select(F.col(id_col).alias("id"), "__shingles").localCheckpoint(
+        eager=True
+    )
     bands = (
         shing.withColumn("__sig", minhash_signature_col(F.col("__shingles"), n_hashes))
         .select(
@@ -108,6 +119,7 @@ def minhash_lsh_pairs(
             F.explode(lsh_bands_col(F.col("__sig"), n_bands, rows_per_band)).alias("b"),
         )
         .select("id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+        .localCheckpoint(eager=True)
     )
     left = bands.select(F.col("id").alias("id_a"), "band", "bhash")
     right = bands.select(F.col("id").alias("id_b"), "band", "bhash")
@@ -514,10 +526,14 @@ def simhash_pairs(
     least one of four 16-bit chunks — join on (chunk_idx, chunk_value),
     verify with bit_count(xor). One shuffle on the chunk buckets.
     """
+    # materialize (id, simhash) once — 2 longs per doc, the cheapest
+    # possible proxy frame: the chunk self-join references it on both
+    # sides, and without the cut the tokenizer + per-token hash + Python
+    # bit-vote pipeline executed twice (once per side)
     hashed = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         simhash64(token_hashes_col(tokens_col(F.col(text_col)), hash_mode)).alias("sh"),
-    )
+    ).localCheckpoint(eager=True)
     chunks = hashed.select(
         "id", "sh",
         F.explode(

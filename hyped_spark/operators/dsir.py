@@ -70,22 +70,30 @@ def hashed_gram_buckets_col(
     def _bucket(s: Column) -> Column:
         return F.pmod(h64_col(s, hash_mode), b).cast("int")
 
-    toks = tokens_col(text)
-    uni = F.transform(toks, _bucket)
     if n_max == 1:
-        return uni
-    # zip_with pads the shorter side with NULL; concat(NULL) → NULL, so
-    # the trailing partial pair filters out. concat_ws would SKIP the
-    # null and emit a bogus unigram — don't swap it in.
-    pairs = F.zip_with(
-        toks,
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda a, c: F.concat(a, F.lit(" "), c),
-    )
-    bi = F.transform(
-        F.filter(pairs, lambda s: s.isNotNull()), _bucket
-    )
-    return F.concat(uni, bi)
+        return F.transform(tokens_col(text), _bucket)
+
+    # bind the token array once per row (let_col): the body references it
+    # three times, and without the binding the tokenizer regex re-ran per
+    # reference (guide §1.2 per-task work)
+    from hyped_spark.functions.hashing import let_col
+
+    def body(toks):
+        uni = F.transform(toks, _bucket)
+        # zip_with pads the shorter side with NULL; concat(NULL) → NULL, so
+        # the trailing partial pair filters out. concat_ws would SKIP the
+        # null and emit a bogus unigram — don't swap it in.
+        pairs = F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, c: F.concat(a, F.lit(" "), c),
+        )
+        bi = F.transform(
+            F.filter(pairs, lambda s: s.isNotNull()), _bucket
+        )
+        return F.concat(uni, bi)
+
+    return let_col(tokens_col(text), body)
 
 
 def hashed_gram_buckets_sql(
