@@ -28,8 +28,21 @@ from pyspark.sql import types as T
 from hyped_spark.operators.common import spread
 
 
-def dot_col(a: Column, b: Column) -> Column:
-    """Native dot product of two float arrays."""
+def dot_col(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Native dot product of two float arrays.
+
+    With ``dim`` known, the fold unrolls to a flat left-associated sum of
+    products — the SAME additions in the SAME order as the HOF fold (bit-
+    identical doubles), but whole-stage-codegen-able: higher-order
+    functions are interpreted per element, an unrolled chain compiles.
+    Catalyst's SimplifyExtractValueOps also collapses ``array(e0..)[d]``
+    to ``e_d``, so a dot over an inline-built array (e.g. dequantized
+    codes) skips materializing the array entirely."""
+    if dim is not None:
+        expr: Column = F.lit(0.0)
+        for d in range(dim):
+            expr = expr + a[d] * b[d]
+        return expr
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -37,15 +50,21 @@ def dot_col(a: Column, b: Column) -> Column:
     )
 
 
-def norm_col(a: Column) -> Column:
+def norm_col(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        expr: Column = F.lit(0.0)
+        for d in range(dim):
+            expr = expr + a[d] * a[d]
+        return F.sqrt(expr)
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
-def cosine_col(a: Column, b: Column) -> Column:
-    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+def cosine_col(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot_col(a, b, dim) / (norm_col(a, dim) * norm_col(b, dim))
 
 
-def _scored_cosine(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
+def _scored_cosine(qv: Column, cv: Column, qn: Column, cn: Column,
+                   dim: int | None = None) -> Column:
     """Cosine from a post-join dot product and PRE-JOIN per-side norms.
 
     Every top-k/near-dup operator precomputes ``norm(v)`` once per row
@@ -53,7 +72,7 @@ def _scored_cosine(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
     re-reduced both arrays once per PAIR, which measured 3× slower on the
     brute-force path at sf0.1 (1.67s → 0.54s, identical values: the same
     sqrt-of-sum is just evaluated in the earlier projection)."""
-    return F.round(dot_col(qv, cv) / (qn * cn), 6)
+    return F.round(dot_col(qv, cv, dim) / (qn * cn), 6)
 
 
 def brute_force_topk(
@@ -146,10 +165,10 @@ def lsh_topk(
     sketch = make_sketch_udf(dim, n_bits)
     c = spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))).withColumn(
         "__bucket", sketch(F.col("__cv"))
-    ).withColumn("__cn", norm_col(F.col("__cv")))
+    ).withColumn("__cn", norm_col(F.col("__cv"), dim))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")).withColumn(
         "__bucket", sketch(F.col("__qv"))
-    ).withColumn("__qn", norm_col(F.col("__qv")))
+    ).withColumn("__qn", norm_col(F.col("__qv"), dim))
     if multi_probe:
         probes = F.array(
             F.col("__bucket"),
@@ -161,7 +180,8 @@ def lsh_topk(
         q = q.withColumn("__bucket", F.explode(probes))
     scored = c.join(F.broadcast(q), "__bucket").withColumn(
         "cosine",
-        _scored_cosine(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")),
+        _scored_cosine(F.col("__qv"), F.col("__cv"), F.col("__qn"),
+                       F.col("__cn"), dim),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -271,15 +291,17 @@ def ivf_topk(
 
         return cells
 
+    dim = int(C.shape[1])
     c = spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))).withColumn(
         "__cell", make_cells_udf(1)(F.col("__cv"))[0]
-    ).withColumn("__cn", norm_col(F.col("__cv")))
+    ).withColumn("__cn", norm_col(F.col("__cv"), dim))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")).withColumn(
         "__cell", F.explode(make_cells_udf(n_probe)(F.col("__qv")))
-    ).withColumn("__qn", norm_col(F.col("__qv")))
+    ).withColumn("__qn", norm_col(F.col("__qv"), dim))
     scored = c.join(F.broadcast(q), "__cell").withColumn(
         "cosine",
-        _scored_cosine(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")),
+        _scored_cosine(F.col("__qv"), F.col("__cv"), F.col("__qn"),
+                       F.col("__cn"), dim),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -294,16 +316,48 @@ def ivf_topk(
 def quantization_params(
     corpus: DataFrame, dim: int, vec_col: str = "embedding"
 ) -> tuple[list[float], list[float]]:
-    """Per-dimension (min, max) over the corpus — ONE aggregate job with
-    2×dim expressions (no shuffle of vectors; min/max are exact, so the
-    params are bit-identical across engines and runs)."""
-    row = corpus.agg(
-        *[F.min(F.col(vec_col)[i]).alias(f"lo{i}") for i in range(dim)],
-        *[F.max(F.col(vec_col)[i]).alias(f"hi{i}") for i in range(dim)],
-    ).collect()[0]
-    lo = [float(row[f"lo{i}"]) for i in range(dim)]
-    hi = [float(row[f"hi{i}"]) for i in range(dim)]
-    return lo, hi
+    """Per-dimension (min, max) over the corpus — one numpy partial
+    min/max per partition + a driver reduce over ≤ n_partitions rows.
+
+    Min/max are exact and order-independent, so the params are
+    bit-identical to any evaluation order (and across engines). The
+    previous form was a single aggregate with 2×dim expressions — exact
+    too, but Catalyst planned/optimized 128 aggregate expressions per
+    call, ~1 s of driver time per invocation at dim 64 (guide §1.2:
+    per-task work includes the plan itself when data is small)."""
+    import pyarrow as pa
+
+    def partial(batches):
+        lo = np.full(dim, np.inf)
+        hi = np.full(dim, -np.inf)
+        seen = False
+        for b in batches:
+            col = b.column(0)
+            # zero-copy flat values -> (rows, dim); every row has length
+            # dim by construction
+            arr = col.flatten().to_numpy(zero_copy_only=False).reshape(
+                -1, dim
+            )
+            if arr.size:
+                seen = True
+                np.minimum(lo, arr.min(axis=0), out=lo)
+                np.maximum(hi, arr.max(axis=0), out=hi)
+        if seen:
+            yield pa.RecordBatch.from_pydict(
+                {"lo": pa.array([lo.tolist()]), "hi": pa.array([hi.tolist()])}
+            )
+
+    rows = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .mapInArrow(partial, "lo array<double>, hi array<double>")
+        .collect()  # ≤ one row per partition: metadata-sized collect
+    )
+    los = np.array([r["lo"] for r in rows])
+    his = np.array([r["hi"] for r in rows])
+    return (
+        [float(x) for x in los.min(axis=0)],
+        [float(x) for x in his.max(axis=0)],
+    )
 
 
 def quantize_col(vec: Column, lo: list[float], hi: list[float]) -> Column:
@@ -360,13 +414,13 @@ def sq_topk(
     c = spread(corpus.select(
         F.col(id_col),
         quantize_col(F.col(vec_col), lo, hi).alias("__cq"),
-    )).withColumn("__cn", norm_col(dequantize_col(F.col("__cq"), lo, hi)))
+    )).withColumn("__cn", norm_col(dequantize_col(F.col("__cq"), lo, hi), dim))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")) \
-               .withColumn("__qn", norm_col(F.col("__qv")))
+               .withColumn("__qn", norm_col(F.col("__qv"), dim))
     scored = c.join(F.broadcast(q)).withColumn(
         "cosine",
         _scored_cosine(F.col("__qv"), dequantize_col(F.col("__cq"), lo, hi),
-                       F.col("__qn"), F.col("__cn")),
+                       F.col("__qn"), F.col("__cn"), dim),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -469,7 +523,7 @@ def build_ivf_sq_index(
         F.col(id_col),
         _make_cells_udf(C, 1)(F.col("__cv"))[0].alias("__cell"),
         quantize_col(F.col("__cv"), lo, hi).alias("__cq"),
-    ).withColumn("__cn", norm_col(dequantize_col(F.col("__cq"), lo, hi)))
+    ).withColumn("__cn", norm_col(dequantize_col(F.col("__cq"), lo, hi), dim))
     meta = {"centroids": C.tolist(), "lo": list(lo), "hi": list(hi)}
     return index, meta
 
@@ -493,13 +547,14 @@ def ivf_sq_search(
 
     C = np.asarray(meta["centroids"], dtype=np.float64)
     lo, hi = list(meta["lo"]), list(meta["hi"])
+    dim = len(lo)
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")).withColumn(
         "__cell", F.explode(_make_cells_udf(C, n_probe)(F.col("__qv")))
-    ).withColumn("__qn", norm_col(F.col("__qv")))
+    ).withColumn("__qn", norm_col(F.col("__qv"), dim))
     scored = index.join(F.broadcast(q), "__cell").withColumn(
         "cosine",
         _scored_cosine(F.col("__qv"), dequantize_col(F.col("__cq"), lo, hi),
-                       F.col("__qn"), F.col("__cn")),
+                       F.col("__qn"), F.col("__cn"), dim),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -605,17 +660,31 @@ def embedding_neardup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                     norm_col(F.col("v")).alias("na"))
+                     norm_col(F.col("v"), dim).alias("na"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                     norm_col(F.col("v")).alias("nb"))
+                     norm_col(F.col("v"), dim).alias("nb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("cosine", _scored_cosine(F.col("va"), F.col("vb"),
-                                             F.col("na"), F.col("nb")))
+                                             F.col("na"), F.col("nb"), dim))
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def _unit_vec_col(col: Column, dim: int | None = None) -> Column:
+    """6-dp-rounded unit vector, engine-side (the PQ normalize contract).
+
+    Single-level lambda ONLY: these columns feed pandas UDFs, and the
+    Python-UDF extractor cannot rewrite an argument containing nested
+    lambda scopes (let-binding the norm raises INTERNAL_ERROR "Cannot
+    generate code" at extraction). With ``dim`` the norm is the unrolled
+    lambda-free chain — still re-evaluated per element by the transform,
+    but as whole-stage-codegen arithmetic rather than an interpreted
+    fold. Same sequential sum order, bit-identical components."""
+    d = col.cast("array<double>")
+    return F.transform(d, lambda x: F.round(x / norm_col(d, dim), 6))
 
 
 def pq_train_codebooks(
@@ -638,16 +707,22 @@ def pq_train_codebooks(
     cosine-argmax: ``cos = 1 - d2/2``. Returns (m, ks, dim//m) float64."""
     from hyped_spark.functions.hashing import h64_col
 
-    v = F.col(vec_col).cast("array<double>")  # match the SQL twin's math
-    vn = F.transform(v, lambda x: F.round(x / norm_col(v), 6))
-    rows = (
-        corpus.select(F.col(id_col).alias("__id"), vn.alias("__vn"))
+    # sample FIRST (TakeOrdered on the id hash), normalize the ≤train_cap
+    # survivors after the limit — the old projection normalized the whole
+    # corpus just to throw away everything past the cap. Engine-side
+    # normalize (6-dp unit vectors) keeps the SQL twin's math bit-for-bit.
+    sample = (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
         .withColumn("__h", h64_col(F.col("__id").cast("string"), "md5"))
         .orderBy("__h", "__id")
         .limit(train_cap)
-        .select("__vn")
-        .collect()
     )
+    rows = sample.select(
+        _unit_vec_col(F.col("__v")).alias("__vn")
+    ).collect()
     X = np.array([r[0] for r in rows], dtype=np.float64)
     dim = X.shape[1]
     if dim % m:
@@ -699,8 +774,7 @@ def pq_topk(
     # uses) so the 6-dp-rounded unit vectors are bit-identical in both
     # engines; the UDFs consume them as-is
     def _vn(col: Column) -> Column:
-        d = col.cast("array<double>")
-        return F.transform(d, lambda x: F.round(x / norm_col(d), 6))
+        return _unit_vec_col(col, m * sd)
 
     def make_codes_udf():
         @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -733,21 +807,30 @@ def pq_topk(
 
         return lut
 
+    # the normalized vector is computed as its OWN column first: the
+    # Python-UDF extractor cannot take a nested-lambda HOF as direct UDF
+    # input, and a plain attribute input also guarantees the normalize
+    # runs once, in the JVM projection
     c = spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))) \
-        .withColumn("__codes", make_codes_udf()(_vn(F.col("__cv")))) \
-        .drop("__cv")
+        .withColumn("__vn", _vn(F.col("__cv"))) \
+        .withColumn("__codes", make_codes_udf()(F.col("__vn"))) \
+        .drop("__cv", "__vn")
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")) \
-        .withColumn("__lut", make_lut_udf()(_vn(F.col("__qv")))).drop("__qv")
+        .withColumn("__vn", _vn(F.col("__qv"))) \
+        .withColumn("__lut", make_lut_udf()(F.col("__vn"))) \
+        .drop("__qv", "__vn")
     # ADC: left-to-right fold over subspaces — the same association order
     # the SQL oracle's chained additions use
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc + F.element_at(
+    # ADC fold unrolled over the m subspaces (m is tiny and known):
+    # identical left-to-right additions, whole-stage-codegen instead of
+    # the interpreted HOF fold
+    adc: Column = F.lit(0.0)
+    for j in range(m):
+        adc = adc + F.element_at(
             F.col("__lut"),
-            (j * ks + F.element_at(F.col("__codes"), j + 1) + 1).cast("int"),
-        ),
-    )
+            (F.lit(j * ks) + F.element_at(F.col("__codes"), j + 1)
+             + F.lit(1)).cast("int"),
+        )
     scored = c.crossJoin(F.broadcast(q)).withColumn(
         "approx_cosine", F.round(1.0 - adc, 6)
     )
@@ -800,8 +883,7 @@ def ivf_pq_topk(
     sd = B.shape[2]
 
     def _vn(col: Column) -> Column:
-        d = col.cast("array<double>")
-        return F.transform(d, lambda x: F.round(x / norm_col(d), 6))
+        return _unit_vec_col(col, m * sd)
 
     def make_cells_udf(n: int):
         @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -841,24 +923,28 @@ def ivf_pq_topk(
     c = (
         spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")))
         .withColumn("__cell", make_cells_udf(1)(cv)[0])
-        .withColumn("__codes", make_codes_udf()(_vn(F.col("__cv"))))
-        .drop("__cv")
+        .withColumn("__vn", _vn(F.col("__cv")))
+        .withColumn("__codes", make_codes_udf()(F.col("__vn")))
+        .drop("__cv", "__vn")
     )
     qv = F.col("__qv").cast("array<double>")
     q = (
         queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
-        .withColumn("__lut", make_lut_udf()(_vn(F.col("__qv"))))
+        .withColumn("__vn", _vn(F.col("__qv")))
+        .withColumn("__lut", make_lut_udf()(F.col("__vn")))
         .withColumn("__cell", F.explode(make_cells_udf(n_probe)(qv)))
-        .drop("__qv")
+        .drop("__qv", "__vn")
     )
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc + F.element_at(
+    # ADC fold unrolled over the m subspaces (m is tiny and known):
+    # identical left-to-right additions, whole-stage-codegen instead of
+    # the interpreted HOF fold
+    adc: Column = F.lit(0.0)
+    for j in range(m):
+        adc = adc + F.element_at(
             F.col("__lut"),
-            (j * ks + F.element_at(F.col("__codes"), j + 1) + 1).cast("int"),
-        ),
-    )
+            (F.lit(j * ks) + F.element_at(F.col("__codes"), j + 1)
+             + F.lit(1)).cast("int"),
+        )
     scored = c.join(F.broadcast(q), "__cell").withColumn(
         "approx_cosine", F.round(1.0 - adc, 6)
     )

@@ -211,7 +211,8 @@ def test_collect_sites_are_metadata_sized():
          "per-partition prefix offsets: O(partitions)"),
         ("operators/similarity.py", "train_cap",
          "hash-ranked training sample: bounded by train_cap"),
-        ("operators/similarity.py", "F.min(", "per-dim min/max: 1 row"),
+        ("operators/similarity.py", "one row per partition",
+         "per-partition min/max partials: O(partitions) rows"),
         ("operators/bpe.py", 'orderBy(F.desc("cnt")',
          "per-round argmax pair: 1 row"),
         ("operators/dsir.py", 'groupBy("__b")',
