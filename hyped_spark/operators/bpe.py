@@ -114,6 +114,7 @@ def bpe_train(
         .localCheckpoint(eager=True)
     )
     merges: list[dict] = []
+    prev = None  # superseded vocab, releasable once the current one is live
     for rank in range(1, num_merges + 1):
         best = (
             vocab.select(
@@ -128,6 +129,11 @@ def bpe_train(
             # 1-row argmax: metadata-sized collect
             .collect()
         )
+        # the collect above materialized `vocab` (lazy checkpoint), so the
+        # round BEFORE it is now safe to free
+        if prev is not None:
+            _release_local_checkpoint(prev)
+            prev = None
         if not best:
             break
         l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
@@ -135,6 +141,9 @@ def bpe_train(
             {"rank": rank, "lhs": l, "rhs": r, "merged": l + r,
              "weight": int(cnt)}
         )
+        # LAZY checkpoint: the next round's argmax collect materializes
+        # the replaced vocab — one Spark job per merge round, not two
+        # (the final round's unmaterialized checkpoint is just released)
         nxt = vocab.select(
             F.replace(
                 F.col("repr"),
@@ -142,9 +151,11 @@ def bpe_train(
                 F.lit(f"{_D}{l}{r}{_D}"),
             ).alias("repr"),
             "w",
-        ).localCheckpoint(eager=True)
-        _release_local_checkpoint(vocab)
+        ).localCheckpoint(eager=False)
+        prev = vocab
         vocab = nxt
+    if prev is not None:
+        _release_local_checkpoint(prev)
     _release_local_checkpoint(vocab)
     return merges
 

@@ -316,15 +316,26 @@ def dsir_select(
     hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end DSIR: fit p on ``target_df`` and q on ``raw_df``, then
-    Gumbel-resample ``k`` rows of ``raw_df`` ∝ exp(log p − log q)."""
-    logp_t = fit_hashed_gram_dist(
-        target_df, text_col=text_col, buckets=buckets, n_max=n_max,
-        alpha=alpha, hash_mode=hash_mode,
-    )
-    logp_q = fit_hashed_gram_dist(
-        raw_df, text_col=text_col, buckets=buckets, n_max=n_max,
-        alpha=alpha, hash_mode=hash_mode,
-    )
+    Gumbel-resample ``k`` rows of ``raw_df`` ∝ exp(log p − log q).
+
+    The two fits are INDEPENDENT corpus scans, so they run as concurrent
+    Spark jobs from a 2-thread pool (guide §2.6 "overlap independent
+    jobs"): the second scan back-fills executors freed by the first's
+    stragglers instead of waiting for the full barrier. Each fit is
+    deterministic (a bucket-count aggregate), so concurrency cannot
+    change the fitted distributions."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fit(frame: DataFrame) -> list[float]:
+        return fit_hashed_gram_dist(
+            frame, text_col=text_col, buckets=buckets, n_max=n_max,
+            alpha=alpha, hash_mode=hash_mode,
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_t = pool.submit(_fit, target_df)
+        fut_q = pool.submit(_fit, raw_df)
+        logp_t, logp_q = fut_t.result(), fut_q.result()
     return dsir_resample(
         raw_df, dsir_log_ratio(logp_t, logp_q), k, id_col=id_col,
         text_col=text_col, seed=seed, n_max=n_max, hash_mode=hash_mode,

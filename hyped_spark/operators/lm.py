@@ -127,25 +127,39 @@ def ppl_partition(
     labels: tuple = ("head", "middle", "tail"),
     bucket_col: str = "ppl_bucket",
     round_dp: int = 6,
+    exact: bool = True,
 ) -> DataFrame:
     """CCNet's corpus partition (Wenzek et al. 2020): label every document
-    head / middle / tail by exact perplexity quantiles — LOW perplexity
+    head / middle / tail by perplexity quantiles — LOW perplexity
     (most natural under the LM) is the head. ``len(labels)`` must be
     ``len(fractions) + 1``.
 
-    The cutoffs come from ONE exact percentile aggregate (sort-based,
-    deterministic — order statistics carry no float sum-order noise),
-    rounded to ``round_dp`` and broadcast as a 1-row frame; labeling is a
-    native CASE — the corpus never shuffles. Both engines compute the
-    same interpolated cutoffs from the same rounded perplexities, so the
-    split replays exactly in SQL.
+    The cutoffs come from ONE percentile aggregate, rounded to
+    ``round_dp`` and broadcast as a 1-row frame; labeling is a native
+    CASE — the corpus never shuffles.
+
+    ``exact=True`` (the oracle mode) uses ``F.percentile``: sort-based
+    order statistics, deterministic, replayed bit-for-bit by the DuckDB
+    ``quantile_cont`` twin — but the final aggregation buffer holds every
+    perplexity value in ONE task, an executor memory bomb at billions of
+    documents. ``exact=False`` is the scale path: ``approx_percentile``
+    at accuracy 1e6 — a mergeable bounded-memory sketch (same per-task
+    state whatever the corpus size), still deterministic for a fixed
+    input. Cutoffs may differ from exact by ~1/accuracy quantile mass,
+    which moves only boundary documents between buckets (asserted within
+    tolerance in tests/test_lm.py); use it when the corpus outgrows one
+    task's memory — the same twin-mode contract as hash_mode.
     """
     if len(labels) != len(fractions) + 1:
         raise ValueError("need len(labels) == len(fractions) + 1")
     arr = F.array(*[F.lit(float(f)) for f in fractions])
-    cuts = scored.agg(
-        F.percentile(F.col(ppl_col), arr).alias("__c")
-    ).select(*[
+    if exact:
+        cut_agg = F.percentile(F.col(ppl_col), arr)
+    else:
+        cut_agg = F.approx_percentile(
+            F.col(ppl_col), arr, F.lit(1_000_000)
+        )
+    cuts = scored.agg(cut_agg.alias("__c")).select(*[
         F.round(F.element_at("__c", i + 1), round_dp).alias(f"__c{i}")
         for i in range(len(fractions))
     ])
