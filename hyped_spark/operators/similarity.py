@@ -32,12 +32,14 @@ def dot_col(a: Column, b: Column, dim: int | None = None) -> Column:
     """Native dot product of two float arrays.
 
     With ``dim`` known, the fold unrolls to a flat left-associated sum of
-    products — the SAME additions in the SAME order as the HOF fold (bit-
-    identical doubles), but whole-stage-codegen-able: higher-order
-    functions are interpreted per element, an unrolled chain compiles.
-    Catalyst's SimplifyExtractValueOps also collapses ``array(e0..)[d]``
-    to ``e_d``, so a dot over an inline-built array (e.g. dequantized
-    codes) skips materializing the array entirely."""
+    products — the SAME additions in the SAME order as the HOF fold
+    (bit-identical doubles) as codegen arithmetic. MEASURED CAVEAT: at
+    dim 64 the unrolled chains made the ANN scoring queries ~2× SLOWER
+    end-to-end (alternating fresh-JVM A/B at sf0.1: sq8 ~5.3s HOF vs
+    ~10.5s unrolled; the optimizer/codegen cost of the ~400-node trees
+    dominates at these row counts) — the scoring call sites therefore
+    keep the HOF fold, and ``dim`` should only be passed for SMALL
+    arrays (the m=4 PQ ADC fold uses the unrolled form profitably)."""
     if dim is not None:
         expr: Column = F.lit(0.0)
         for d in range(dim):
@@ -165,10 +167,10 @@ def lsh_topk(
     sketch = make_sketch_udf(dim, n_bits)
     c = spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))).withColumn(
         "__bucket", sketch(F.col("__cv"))
-    ).withColumn("__cn", norm_col(F.col("__cv"), dim))
+    ).withColumn("__cn", norm_col(F.col("__cv")))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")).withColumn(
         "__bucket", sketch(F.col("__qv"))
-    ).withColumn("__qn", norm_col(F.col("__qv"), dim))
+    ).withColumn("__qn", norm_col(F.col("__qv")))
     if multi_probe:
         probes = F.array(
             F.col("__bucket"),
@@ -181,7 +183,7 @@ def lsh_topk(
     scored = c.join(F.broadcast(q), "__bucket").withColumn(
         "cosine",
         _scored_cosine(F.col("__qv"), F.col("__cv"), F.col("__qn"),
-                       F.col("__cn"), dim),
+                       F.col("__cn")),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -294,14 +296,14 @@ def ivf_topk(
     dim = int(C.shape[1])
     c = spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))).withColumn(
         "__cell", make_cells_udf(1)(F.col("__cv"))[0]
-    ).withColumn("__cn", norm_col(F.col("__cv"), dim))
+    ).withColumn("__cn", norm_col(F.col("__cv")))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")).withColumn(
         "__cell", F.explode(make_cells_udf(n_probe)(F.col("__qv")))
-    ).withColumn("__qn", norm_col(F.col("__qv"), dim))
+    ).withColumn("__qn", norm_col(F.col("__qv")))
     scored = c.join(F.broadcast(q), "__cell").withColumn(
         "cosine",
         _scored_cosine(F.col("__qv"), F.col("__cv"), F.col("__qn"),
-                       F.col("__cn"), dim),
+                       F.col("__cn")),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -414,13 +416,13 @@ def sq_topk(
     c = spread(corpus.select(
         F.col(id_col),
         quantize_col(F.col(vec_col), lo, hi).alias("__cq"),
-    )).withColumn("__cn", norm_col(dequantize_col(F.col("__cq"), lo, hi), dim))
+    )).withColumn("__cn", norm_col(dequantize_col(F.col("__cq"), lo, hi)))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")) \
-               .withColumn("__qn", norm_col(F.col("__qv"), dim))
+               .withColumn("__qn", norm_col(F.col("__qv")))
     scored = c.join(F.broadcast(q)).withColumn(
         "cosine",
         _scored_cosine(F.col("__qv"), dequantize_col(F.col("__cq"), lo, hi),
-                       F.col("__qn"), F.col("__cn"), dim),
+                       F.col("__qn"), F.col("__cn")),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -513,17 +515,26 @@ def build_ivf_sq_index(
     Searching a stored index costs NO training and NO corpus pass — see
     :func:`ivf_sq_search`; the one-shot composition :func:`ivf_sq_topk`
     is exactly build + search."""
-    C = ivf_train_centroids(
-        corpus, n_lists, id_col, vec_col, train_cap=train_cap, n_iters=n_iters
-    )
-    lo, hi = quantization_params(corpus, dim, vec_col)
+    # the coarse k-means fit and the quantization min/max are independent
+    # jobs over the same corpus — run them concurrently so the second
+    # back-fills the first's straggler tail (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_c = pool.submit(
+            ivf_train_centroids, corpus, n_lists, id_col, vec_col,
+            train_cap, n_iters,
+        )
+        fut_q = pool.submit(quantization_params, corpus, dim, vec_col)
+        C = fut_c.result()
+        lo, hi = fut_q.result()
     index = spread(
         corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
     ).select(
         F.col(id_col),
         _make_cells_udf(C, 1)(F.col("__cv"))[0].alias("__cell"),
         quantize_col(F.col("__cv"), lo, hi).alias("__cq"),
-    ).withColumn("__cn", norm_col(dequantize_col(F.col("__cq"), lo, hi), dim))
+    ).withColumn("__cn", norm_col(dequantize_col(F.col("__cq"), lo, hi)))
     meta = {"centroids": C.tolist(), "lo": list(lo), "hi": list(hi)}
     return index, meta
 
@@ -550,11 +561,11 @@ def ivf_sq_search(
     dim = len(lo)
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")).withColumn(
         "__cell", F.explode(_make_cells_udf(C, n_probe)(F.col("__qv")))
-    ).withColumn("__qn", norm_col(F.col("__qv"), dim))
+    ).withColumn("__qn", norm_col(F.col("__qv")))
     scored = index.join(F.broadcast(q), "__cell").withColumn(
         "cosine",
         _scored_cosine(F.col("__qv"), dequantize_col(F.col("__cq"), lo, hi),
-                       F.col("__qn"), F.col("__cn"), dim),
+                       F.col("__qn"), F.col("__cn")),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -660,14 +671,14 @@ def embedding_neardup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                     norm_col(F.col("v"), dim).alias("na"))
+                     norm_col(F.col("v")).alias("na"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                     norm_col(F.col("v"), dim).alias("nb"))
+                     norm_col(F.col("v")).alias("nb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("cosine", _scored_cosine(F.col("va"), F.col("vb"),
-                                             F.col("na"), F.col("nb"), dim))
+                                             F.col("na"), F.col("nb")))
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
@@ -676,15 +687,19 @@ def embedding_neardup_pairs(
 def _unit_vec_col(col: Column, dim: int | None = None) -> Column:
     """6-dp-rounded unit vector, engine-side (the PQ normalize contract).
 
-    Single-level lambda ONLY: these columns feed pandas UDFs, and the
-    Python-UDF extractor cannot rewrite an argument containing nested
-    lambda scopes (let-binding the norm raises INTERNAL_ERROR "Cannot
-    generate code" at extraction). With ``dim`` the norm is the unrolled
-    lambda-free chain — still re-evaluated per element by the transform,
-    but as whole-stage-codegen arithmetic rather than an interpreted
-    fold. Same sequential sum order, bit-identical components."""
+    Single-level lambda with the HOF-fold norm ONLY — two tempting
+    rewrites are known-bad here and must not come back:
+    - let-binding the norm (nested lambda scopes) raises INTERNAL_ERROR
+      "Cannot generate code" at Python-UDF extraction;
+    - the dim-unrolled norm chain inside this lambda made Janino compile
+      a pathological method for the UDF input projection (first reps of
+      pq_topk measured 30–80 s of compile before the codegen cache
+      warmed; interpreted fold reps are ~2.7 s).
+    The norm re-evaluates per element (O(dim²) per row) in both forms;
+    this is the price of the extractor limitation, and PQ vectors are
+    normalized once per corpus pass."""
     d = col.cast("array<double>")
-    return F.transform(d, lambda x: F.round(x / norm_col(d, dim), 6))
+    return F.transform(d, lambda x: F.round(x / norm_col(d), 6))
 
 
 def pq_train_codebooks(
@@ -872,14 +887,20 @@ def ivf_pq_topk(
     corpus and reads only codes."""
     from pyspark.sql import Window
 
-    C = ivf_train_centroids(
-        corpus, n_lists, id_col, vec_col, train_cap=train_cap,
-        n_iters=n_iters,
-    )
-    B = pq_train_codebooks(
-        corpus, m, ks, id_col, vec_col, train_cap=train_cap,
-        n_iters=n_iters,
-    )
+    # the coarse and subspace fits are independent bounded sample jobs —
+    # overlap them (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_c = pool.submit(
+            ivf_train_centroids, corpus, n_lists, id_col, vec_col,
+            train_cap, n_iters,
+        )
+        fut_b = pool.submit(
+            pq_train_codebooks, corpus, m, ks, id_col, vec_col,
+            train_cap, n_iters,
+        )
+        C, B = fut_c.result(), fut_b.result()
     sd = B.shape[2]
 
     def _vn(col: Column) -> Column:
