@@ -467,18 +467,31 @@ def parse_avi(blob: bytes):
     codec = ""
     frames: list[bytes] = []
 
-    def scan(lo: int, hi: int) -> None:
-        nonlocal width, height, usec, n_frames, codec
-        i = lo
+    # Iterative scan with an explicit (lo, hi) work stack: LIST chunks
+    # nest, and a recursive scan over UNTRUSTED crawled bytes let a ~24 KB
+    # blob of nested LIST('strl') headers raise RecursionError — crashing
+    # the executor task instead of yielding the documented NULL struct.
+    # The stack bounds memory to O(nesting) and cannot overflow; ranges
+    # strictly shrink (data_lo+4 > i), so termination is preserved.
+    stack: list[tuple[int, int]] = [(12, len(blob))]
+    while stack:
+        i, hi = stack.pop()
         while i + 8 <= hi:
             cid = blob[i:i + 4]
             (clen,) = struct.unpack("<I", blob[i + 4:i + 8])
             data_lo = i + 8
             data_hi = min(data_lo + clen, hi)
+            nxt = data_lo + clen + (clen & 1)
             if cid == b"LIST":
                 form = blob[data_lo:data_lo + 4]
                 if form in (b"hdrl", b"movi", b"strl"):
-                    scan(data_lo + 4, data_hi)
+                    # descend now, resume the parent after the child —
+                    # the exact depth-first in-order walk of the old
+                    # recursive form (frame order / first-strh selection
+                    # unchanged)
+                    stack.append((nxt, hi))
+                    i, hi = data_lo + 4, data_hi
+                    continue
             elif cid == b"avih" and clen >= 40:
                 usec, _mb, _pg, _fl, n_frames = struct.unpack(
                     "<5I", blob[data_lo:data_lo + 20])
@@ -490,9 +503,7 @@ def parse_avi(blob: bytes):
                         "ascii", "replace").strip("\x00 ") or "DIB"
             elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
                 frames.append(blob[data_lo:data_hi])
-            i = data_lo + clen + (clen & 1)
-
-    scan(12, len(blob))
+            i = nxt
     if width == 0 and not frames:
         return None
     return width, height, n_frames or len(frames), usec, codec, frames

@@ -319,7 +319,13 @@ def connected_components_star(
     count; small-star strictly dedups). Same localCheckpoint-per-round
     plan discipline as the other iterative operators. Convergence check =
     (count, xxhash64-sum) signature equality of the canonical edge set —
-    a 1-row aggregate, no driver-side edge payload.
+    a 1-row aggregate, no driver-side edge payload. Accepted risk: two
+    DIFFERENT successive edge sets whose (count, two salted 25-bit-sum)
+    signatures collide would stop the loop one round early and return
+    split components silently — probability ~2^-50 per round (two
+    independent salts, equal counts required), deliberately traded
+    against an exact ``exceptAll().limit(1)`` emptiness probe, which
+    costs a per-round anti-join instead of a 1-row aggregate.
 
     Returns (node, component) with component = min node id, identical to
     :func:`connected_components` (fuzz-asserted in tests).

@@ -130,9 +130,17 @@ def robots_filter(
         anchor, F.expr("substring(prefix, 1, length(prefix) - 1)")
     ).otherwise(F.col("prefix"))
     esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    # robots.txt is UNTRUSTED web content: collapse runs of '*' before
+    # compiling ('**' matches exactly what '*' matches, so verdicts are
+    # unchanged — the DuckDB twin needs no mirror) so an adversarial
+    # '****...' rule cannot stack quantifiers. Residual: a rule with many
+    # DISTINCT '*'-separated segments still costs O(path_len^k) in Java's
+    # backtracking engine; a hard cap on k (Google caps ~10) would change
+    # verdicts for such rules and is left for a build round where the
+    # oracle twin can mirror it.
     rx = F.concat(
         F.lit("^"),
-        F.regexp_replace(esc, r"\*", ".*"),
+        F.regexp_replace(F.regexp_replace(esc, r"\*+", "*"), r"\*", ".*"),
         F.when(anchor, F.lit("$")).otherwise(F.lit("")),
     )
     rules = rules.withColumn(

@@ -235,6 +235,23 @@ def test_avi_roundtrip_and_alignment():
     assert parse_avi(b"\x89PNGnot-a-riff") is None
 
 
+def test_avi_deeply_nested_lists_do_not_crash():
+    """Adversarial container: thousands of nested LIST('strl') chunks.
+    The old recursive scan raised RecursionError (crashing the executor
+    task on untrusted crawled bytes); the iterative scan must terminate
+    and treat the payload as unrecognized (None — no avih, no frames)."""
+    import struct as _struct
+
+    from hyped_spark.functions.multimodal import parse_avi
+
+    depth = 3000
+    inner = b""
+    for _ in range(depth):
+        inner = b"LIST" + _struct.pack("<I", len(inner) + 4) + b"strl" + inner
+    blob = b"RIFF" + _struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    assert parse_avi(blob) is None
+
+
 def test_avi_mjpg_frames_give_real_dimensions():
     """An MJPG-tagged AVI carries JPEG payloads; the frame blobs parse with
     the real JPEG header scan (entropy decode stays behind the codec

@@ -186,6 +186,32 @@ def test_wildcard_verdicts(spark):
                    5: False, 6: True}
 
 
+def test_wildcard_star_runs_collapse(spark):
+    """Adversarial quantifier stacking: a rule with hundreds of
+    consecutive '*'s must behave exactly like a single '*' (run-collapse
+    is a matching no-op) and must not hang the Java regex engine on a
+    long non-matching path."""
+    import time
+
+    from hyped_spark.operators.robots import robots_filter
+
+    txt = "User-agent: *\nDisallow: /a" + "*" * 400 + "b$\n"
+    rules = spark.createDataFrame(
+        [("w.org", txt)], "host string, robots_txt string")
+    from hyped_spark.operators.robots import parse_robots
+
+    parsed = parse_robots(rules)
+    long_path = "https://w.org/a" + "x" * 5000 + "c"   # no trailing b
+    pages = spark.createDataFrame(
+        [(0, long_path), (1, "https://w.org/a123b")],
+        "id long, url string",
+    )
+    t0 = time.monotonic()
+    got = {r.id: r.allowed for r in robots_filter(pages, parsed).collect()}
+    assert time.monotonic() - t0 < 60, "wildcard match did not stay linear"
+    assert got == {0: True, 1: False}
+
+
 def test_wildcard_sql_twin_parity(spark):
     """The DuckDB twin agrees on every wildcard fixture verdict."""
     import duckdb
