@@ -657,9 +657,13 @@ def embedding_neardup_pairs(
     band_bits bounds the bucket count per band at 2^band_bits.
     """
     sketch = make_multi_sketch_udf(dim, n_bands, band_bits)
+    # materialized once: the dataflow references base three times (band
+    # build + both verification sides), and each reference otherwise
+    # re-executes the scan AND the spread repartition shuffle — the same
+    # shared-subtree duplication fixed in minhash_lsh_pairs
     base = spread(
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    )
+    ).localCheckpoint(eager=True)
     bands = base.select(
         "id", F.posexplode(sketch(F.col("v"))).alias("band", "bucket")
     )
