@@ -103,8 +103,6 @@ def main() -> None:
     qmap = entrymod.queries()
     scale = _scale_builders(spark)
 
-    import pyspark.sql.functions as F  # noqa: F401
-
     # warmup identical to bench.py
     for t, expr in [("lineitem", "sum(l_quantity)"),
                     ("documents", "sum(length(text))"),
@@ -126,8 +124,11 @@ def main() -> None:
         if explain:
             df = build()
             print(f"==== {name} ====")
-            print(df._sc is not None and df._jdf.queryExecution()
-                  .explainString("formatted"))
+            import contextlib, io
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            print(buf.getvalue())
             continue
         samples = []
         for _ in range(REPS):

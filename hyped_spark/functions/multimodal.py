@@ -492,7 +492,12 @@ def parse_avi(blob: bytes):
                     stack.append((nxt, hi))
                     i, hi = data_lo + 4, data_hi
                     continue
-            elif cid == b"avih" and clen >= 40:
+            elif cid == b"avih" and clen >= 40 and data_hi - data_lo >= 40:
+                # guard on bytes ACTUALLY present: a truncated/adversarial
+                # blob can declare clen >= 40 with fewer payload bytes —
+                # struct.unpack on the short slice raised struct.error and
+                # crashed the task (same untrusted-input class as the
+                # recursion fix); short chunks are simply unrecognized
                 usec, _mb, _pg, _fl, n_frames = struct.unpack(
                     "<5I", blob[data_lo:data_lo + 20])
                 width, height = struct.unpack(

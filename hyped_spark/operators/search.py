@@ -140,7 +140,12 @@ def build_bm25_index(
     and full-corpus scoring.
     """
     toks = _tokens(text_col)
-    base = df.select(F.col(id_col).alias("doc"), toks.alias("__t"))
+    # materialized once: the meta aggregate and the postings explode are
+    # two consumers of the same tokenized projection — without the cut
+    # each ran its own full tokenize pass over the corpus (the shared-
+    # subtree duplication pattern; see minhash_lsh_pairs)
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("__t")) \
+        .localCheckpoint(eager=True)
     lens = base.select("doc", F.size("__t").alias("dl"))
     meta_row = lens.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_dl")

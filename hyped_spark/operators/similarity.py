@@ -293,7 +293,6 @@ def ivf_topk(
 
         return cells
 
-    dim = int(C.shape[1])
     c = spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))).withColumn(
         "__cell", make_cells_udf(1)(F.col("__cv"))[0]
     ).withColumn("__cn", norm_col(F.col("__cv")))
@@ -335,11 +334,18 @@ def quantization_params(
         seen = False
         for b in batches:
             col = b.column(0)
-            # zero-copy flat values -> (rows, dim); every row has length
-            # dim by construction
-            arr = col.flatten().to_numpy(zero_copy_only=False).reshape(
-                -1, dim
-            )
+            # zero-copy flat values -> (rows, dim)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            if flat.size != len(col) * dim:
+                # a silent reshape under a wrong caller dim (or null
+                # elements) would pair unrelated components and emit
+                # garbage params — fail loudly instead
+                raise ValueError(
+                    f"quantization_params: expected {len(col)}x{dim} "
+                    f"values, got {flat.size} — vector width does not "
+                    f"match dim (or vectors contain nulls)"
+                )
+            arr = flat.reshape(-1, dim)
             if arr.size:
                 seen = True
                 np.minimum(lo, arr.min(axis=0), out=lo)
@@ -558,7 +564,6 @@ def ivf_sq_search(
 
     C = np.asarray(meta["centroids"], dtype=np.float64)
     lo, hi = list(meta["lo"]), list(meta["hi"])
-    dim = len(lo)
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")).withColumn(
         "__cell", F.explode(_make_cells_udf(C, n_probe)(F.col("__qv")))
     ).withColumn("__qn", norm_col(F.col("__qv")))
@@ -688,7 +693,7 @@ def embedding_neardup_pairs(
     )
 
 
-def _unit_vec_col(col: Column, dim: int | None = None) -> Column:
+def _unit_vec_col(col: Column) -> Column:
     """6-dp-rounded unit vector, engine-side (the PQ normalize contract).
 
     Single-level lambda with the HOF-fold norm ONLY — two tempting
@@ -793,7 +798,7 @@ def pq_topk(
     # uses) so the 6-dp-rounded unit vectors are bit-identical in both
     # engines; the UDFs consume them as-is
     def _vn(col: Column) -> Column:
-        return _unit_vec_col(col, m * sd)
+        return _unit_vec_col(col)
 
     def make_codes_udf():
         @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -908,7 +913,7 @@ def ivf_pq_topk(
     sd = B.shape[2]
 
     def _vn(col: Column) -> Column:
-        return _unit_vec_col(col, m * sd)
+        return _unit_vec_col(col)
 
     def make_cells_udf(n: int):
         @F.pandas_udf(T.ArrayType(T.IntegerType()))

@@ -252,6 +252,23 @@ def test_avi_deeply_nested_lists_do_not_crash():
     assert parse_avi(blob) is None
 
 
+def test_avi_truncated_avih_does_not_crash():
+    """A chunk can DECLARE clen >= 40 while the blob is truncated —
+    struct.unpack on the short slice raised struct.error (task crash on
+    one corrupt crawled AVI); short chunks must be unrecognized."""
+    import struct as _struct
+
+    from hyped_spark.functions.multimodal import parse_avi
+
+    blob = (b"RIFF" + _struct.pack("<I", 100) + b"AVI "
+            + b"avih" + _struct.pack("<I", 40) + b"\x00" * 10)
+    assert parse_avi(blob) is None
+    # 25 pad bytes: enough for the first unpack, short for width/height
+    blob2 = (b"RIFF" + _struct.pack("<I", 100) + b"AVI "
+             + b"avih" + _struct.pack("<I", 40) + b"\x00" * 25)
+    assert parse_avi(blob2) is None
+
+
 def test_avi_mjpg_frames_give_real_dimensions():
     """An MJPG-tagged AVI carries JPEG payloads; the frame blobs parse with
     the real JPEG header scan (entropy decode stays behind the codec
