@@ -102,6 +102,13 @@ def minhash_lsh_pairs(
     permutation signature fold runs once, not once per self-join side
     (measured at sf0.1: 2.6 s → 1.0 s warm; the md5 oracle twin gains the
     most because its per-gram hash is the expensive one).
+
+    Lifecycle note: the returned frame references both checkpoints, so
+    they cannot be released here — their blocks are freed when the result
+    frame is garbage-collected (ContextCleaner). A long-lived session
+    deduping many corpora should consume the result promptly and drop the
+    reference; building the frame also runs the proxy jobs EAGERLY (the
+    price of computing the pipeline once instead of four times).
     """
     rows_per_band = n_hashes // n_bands
     # project narrow BEFORE spread: column pruning does not push through a
